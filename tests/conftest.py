@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The container pre-imports jax with ``JAX_PLATFORMS=axon`` (real TPU tunnel),
+so tests must override via ``jax.config`` before any backend initializes
+(SURVEY.md §4: multi-chip sharding is tested without TPUs via
+``--xla_force_host_platform_device_count=8``).
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["AFSL_FORCE_PALLAS"] = "0"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert jax.device_count() == 8
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)

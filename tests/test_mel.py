@@ -1,0 +1,113 @@
+"""Log-mel extraction vs independent NumPy/SciPy oracles.
+
+The reference's two mel flavors (librosa offline, torchaudio online —
+SURVEY.md §7 'bit-parity choices') are validated here against a scipy-based
+STFT and hand-built filterbank checks, since librosa/torchaudio are not in
+the image.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from audio_few_shot_learning_tpu.config import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE
+from audio_few_shot_learning_tpu.ops.mel import (
+    MelSpec,
+    _hann,
+    _hz_to_mel,
+    _mel_to_hz,
+    mel_filterbank,
+    power_spectrogram,
+)
+
+
+def test_hann_periodic():
+    w = _hann(8)
+    ws = scipy.signal.get_window("hann", 8, fftbins=True)
+    np.testing.assert_allclose(w, ws, atol=1e-7)
+
+
+def test_mel_scale_roundtrip():
+    f = np.linspace(0, 8000, 100)
+    for scale in ("htk", "slaney"):
+        np.testing.assert_allclose(_mel_to_hz(_hz_to_mel(f, scale), scale), f, atol=1e-6)
+
+
+def test_htk_mel_known_values():
+    # 1000 Hz -> 2595*log10(1+1000/700) = 999.98557...
+    np.testing.assert_allclose(_hz_to_mel(np.array(1000.0), "htk"), 999.9855, atol=1e-3)
+    # slaney: linear below 1 kHz, 3f/200
+    np.testing.assert_allclose(_hz_to_mel(np.array(400.0), "slaney"), 6.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("scale,norm", [("htk", None), ("slaney", "slaney")])
+def test_filterbank_structure(scale, norm):
+    fb = mel_filterbank(scale=scale, norm=norm)
+    assert fb.shape == (N_FFT // 2 + 1, N_MELS)
+    assert (fb >= 0).all()
+    # each filter is nonempty and unimodal-ish: has a single contiguous support
+    support = fb > 0
+    assert support.any(axis=0).all()
+    # filter peak frequencies are increasing
+    peaks = fb.argmax(axis=0)
+    assert (np.diff(peaks) >= 0).all()
+    if norm is None:
+        # unnormalized triangles peak near 1 for wide filters
+        assert fb.max() <= 1.0 + 1e-6
+
+
+def test_power_spectrogram_vs_scipy():
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(16000).astype(np.float32)
+    ps = np.asarray(power_spectrogram(wav, pad_mode="constant"))
+    # scipy stft with matching params: periodic hann, no detrending
+    f, t, z = scipy.signal.stft(
+        wav,
+        fs=SAMPLE_RATE,
+        window="hann",
+        nperseg=N_FFT,
+        noverlap=N_FFT - HOP_LENGTH,
+        boundary="zeros",
+        padded=True,
+        return_onesided=True,
+    )
+    # scipy scales by 1/window.sum(); undo it
+    scale = scipy.signal.get_window("hann", N_FFT, fftbins=True).sum()
+    z = np.abs(z * scale) ** 2
+    n = min(ps.shape[0], z.shape[1])
+    np.testing.assert_allclose(ps[:n], z[:, :n].T, rtol=1e-3, atol=1e-2)
+
+
+def test_frames_count_5s():
+    wav = np.zeros(5 * SAMPLE_RATE, dtype=np.float32)
+    out = MelSpec(flavor="online", use_pallas=False)(wav)
+    # center=True: frames = 1 + L//hop = 157 (reference 5 s segments)
+    assert out.shape == (N_MELS, 157)
+
+
+def test_online_offline_flavors_differ_but_close():
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    on = np.asarray(MelSpec(flavor="online", use_pallas=False)(wav))
+    off = np.asarray(MelSpec(flavor="offline", use_pallas=False)(wav))
+    assert on.shape == off.shape
+    assert not np.allclose(on, off)  # different mel scales / norms
+
+
+def test_pallas_interpret_matches_xla():
+    """Kernel-vs-oracle parity using the pallas interpreter on CPU."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    wav = rng.standard_normal(8000).astype(np.float32)
+    ref = MelSpec(flavor="online", use_pallas=False)(wav)
+    with pltpu.force_tpu_interpret_mode():
+        out = MelSpec(flavor="online", use_pallas=True)(wav)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_batched_shapes():
+    wav = np.zeros((3, 2, 16000), dtype=np.float32)
+    out = MelSpec(flavor="online", use_pallas=False)(wav)
+    assert out.shape == (3, 2, N_MELS, 1 + 16000 // HOP_LENGTH)
