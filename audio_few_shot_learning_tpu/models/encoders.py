@@ -1,0 +1,172 @@
+"""Backbone encoders: 4-block CNN and CNN+RNN hybrid.
+
+Re-derivations of the reference's ``StandardCNN`` / ``StandardHybrid``
+(models/main_modules.py:84-198) in flax.linen with TPU-native NHWC layout:
+
+* conv block = 3x3 same conv -> BatchNorm -> ReLU -> max-pool(pool_dim)
+  (main_modules.py:43-60);
+* CNN head = flatten -> Dropout(0.3) -> BatchNorm -> Linear(out_dim)
+  (main_modules.py:103-105). The reference's 'CNN' factory path is broken
+  (omits the required trial_shape arg, main_modules.py:265-268); here the
+  flattened width is derived from the actual input shape, fixing it;
+* Hybrid = conv stack -> [B, T', F'*C] sequence -> RNN/GRU/LSTM with an
+  input+output skip connection -> last timestep -> same head
+  (main_modules.py:170-198).
+
+Weight init follows torch conventions (uniform +-1/sqrt(fan_in)) so training
+dynamics track the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from audio_few_shot_learning_tpu.config import CNNConfig, HybridConfig
+from audio_few_shot_learning_tpu.ops.rnn import Recurrent
+
+
+def _torch_conv_init(key, shape, dtype=jnp.float32):
+    # torch Conv2d: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)), fan_in = C_in*kh*kw
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_dense_init(key, shape, dtype=jnp.float32):
+    bound = 1.0 / jnp.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / float(jnp.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class ConvBlock(nn.Module):
+    """conv3x3(same) -> BN -> ReLU -> maxpool(pool, stride=pool) (floor mode)."""
+
+    features: int
+    pool: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        in_feat = x.shape[-1]
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            padding="SAME",
+            kernel_init=_torch_conv_init,
+            bias_init=_torch_bias_init(in_feat * 9),
+            dtype=x.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
+        )(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(kernel=pool, stride=pool): floor division of dims
+        ph, pw = self.pool
+        h = (x.shape[1] // ph) * ph
+        w = (x.shape[2] // pw) * pw
+        x = nn.max_pool(x[:, :h, :w, :], (ph, pw), strides=(ph, pw), padding="VALID")
+        return x
+
+
+class ConvEncoder(nn.Module):
+    """Four identical conv blocks (main_modules.py:63-81)."""
+
+    hidden_channels: int
+    pool: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for i in range(4):
+            x = ConvBlock(self.hidden_channels, self.pool, name=f"block{i}")(x, train)
+        return x
+
+
+class _LogitsHead(nn.Module):
+    """Dropout(0.3) -> BatchNorm1d -> Linear(out_dim) (main_modules.py:104-105,159-160)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Dropout(rate=0.3, deterministic=not train)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
+        )(x)
+        x = nn.Dense(
+            self.out_dim,
+            kernel_init=_torch_dense_init,
+            bias_init=_torch_bias_init(x.shape[-1]),
+            dtype=x.dtype,
+        )(x)
+        return x
+
+
+class StandardCNN(nn.Module):
+    """4-block CNN -> flatten -> logits head. Input [B, F, T] (no channel dim)."""
+
+    cfg: CNNConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x[..., None]  # NHWC, C=1 (cfg.in_channels==1 for all datasets)
+        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim)(x, train)
+        x = x.reshape(x.shape[0], -1)
+        return _LogitsHead(self.cfg.out_dim)(x, train)
+
+
+class StandardHybrid(nn.Module):
+    """4-block CNN -> time-major sequence -> recurrent stack with skip -> head.
+
+    Sequence layout matches main_modules.py:170-177: after the conv stack the
+    tensor [B, F', T', C] is transposed to (batch, time, freq, channel) and
+    flattened to [B, T', F'*C]; with the canonical 128-mel/pool-3 setup
+    F'==1 so the RNN input size equals C==64.
+    """
+
+    cfg: HybridConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x[..., None]
+        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim)(x, train)
+        b, fp, tp, c = x.shape
+        seq = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, tp, fp * c)
+
+        hidden = self.cfg.hidden_channels  # reference hardcodes hidden=64 (main_modules.py:142)
+        out = Recurrent(
+            hidden_size=hidden,
+            num_layers=self.cfg.seq_layers,
+            cell_type=self.cfg.seq_type,
+            bidirectional=self.cfg.bidirectional,
+            name="seq_layers",
+        )(seq)
+
+        # skip connection g(x) = h_fwd + h_bwd + x (main_modules.py:185-193)
+        fwd = out[:, :, :hidden]
+        if self.cfg.bidirectional:
+            bwd = out[:, :, hidden:]
+            seq_out = fwd + bwd + seq
+        else:
+            seq_out = fwd + seq
+        last = seq_out[:, -1, :]  # many_to_one: last timestep (main_modules.py:167-168,195)
+        return _LogitsHead(self.cfg.out_dim)(last, train)
+
+
+def make_backbone(encoder_name: str, cnn_cfg: CNNConfig, hybrid_cfg: HybridConfig) -> nn.Module:
+    """Factory mirroring get_backbone_model (main_modules.py:258-285)."""
+    if encoder_name == "CNN":
+        return StandardCNN(cnn_cfg)
+    if encoder_name == "Hybrid":
+        return StandardHybrid(hybrid_cfg)
+    raise ValueError(f"unknown encoder {encoder_name!r}")
