@@ -1,0 +1,153 @@
+"""Directory-backed dataset loading, reference layout compatible.
+
+Consumes the exact on-disk layout the reference uses
+(datasets/datasets.py:66-91): ``<root>/features/<class>/*.npy`` (or
+``waveforms_npy`` for wav input), ``<root>/splits.npy`` (list of 3 class-name
+arrays) and ``<root>/norm_stats/glob_norm.npy`` (global [mean],[std] of the
+log-mel values, shape (2,1,1)).
+
+Also provides a synthetic dataset generator in the same layout for tests and
+benchmarks (the reference ships no test data).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from audio_few_shot_learning_tpu.config import ExperimentConfig
+from audio_few_shot_learning_tpu.data.store import PackedStore
+
+_SPLIT_IDX = {"train": 0, "valid": 1, "test": 2}
+
+
+class MetaAudioDataset:
+    """File-backed view of one split (API parity with reference
+    datasets/datasets.py:19-132), plus ``.to_packed_store()`` which is what
+    the TPU pipeline actually consumes."""
+
+    def __init__(
+        self,
+        experiment_config: ExperimentConfig,
+        root: Union[str, Path],
+        split: str,
+    ):
+        self.experiment_config = experiment_config
+        self.root = Path(root)
+        self.split = split
+        self.multi_segm = experiment_config.multi_segm
+        self.input_type = experiment_config.input_type
+
+        sub = "waveforms_npy" if self.input_type == "wav" else "features"
+        data_dir = self.root / sub
+        splits_file = np.load(self.root / "splits.npy", allow_pickle=True)
+        class_names = [str(c) for c in splits_file[_SPLIT_IDX[split]]]
+
+        self.class_names = class_names
+        self.class_to_label = {name: i for i, name in enumerate(class_names)}
+        self.filepaths: List[Path] = []
+        self.labels: List[int] = []
+        for name in class_names:
+            cdir = data_dir / name
+            for fname in sorted(os.listdir(cdir)):
+                if fname.endswith(".npy"):
+                    self.filepaths.append(cdir / fname)
+                    self.labels.append(self.class_to_label[name])
+
+        self.mean, self.std = self.get_normalization_stats()
+
+    def get_normalization_stats(self) -> Tuple[float, float]:
+        norm_stats = np.load(self.root / "norm_stats" / "glob_norm.npy")
+        return float(np.ravel(norm_stats[0])[0]), float(np.ravel(norm_stats[1])[0])
+
+    def __len__(self) -> int:
+        return len(self.filepaths)
+
+    def __getitem__(self, item: int):
+        x = np.load(self.filepaths[item], allow_pickle=True)
+        if self.input_type == "spec":
+            if x.ndim == 2:
+                x = x[None]
+            x = (x - self.mean) / self.std
+        return x, self.labels[item]
+
+    def to_packed_store(self, dtype=np.float32, device=None) -> PackedStore:
+        if self.input_type != "spec":
+            raise NotImplementedError(
+                "wav-input stores are assembled by the wav pipeline (ops/waveaugment)"
+            )
+        items = [np.load(p, allow_pickle=True) for p in self.filepaths]
+        return PackedStore.pack(
+            items,
+            self.labels,
+            n_classes=len(self.class_names),
+            mean=self.mean,
+            std=self.std,
+            dtype=dtype,
+            device=device,
+        )
+
+
+def load_packed_split(
+    exp: ExperimentConfig, root: Union[str, Path], split: str, dtype=np.float32, device=None
+) -> PackedStore:
+    return MetaAudioDataset(exp, root, split).to_packed_store(dtype=dtype, device=device)
+
+
+def make_synthetic_dataset(
+    root: Union[str, Path],
+    n_classes: int = 12,
+    items_per_class: int = 15,
+    n_mels: int = 128,
+    n_frames: int = 157,
+    multi_segm: bool = False,
+    max_segments: int = 4,
+    split_fractions: Tuple[int, int, int] = (8, 2, 2),
+    seed: int = 0,
+) -> Path:
+    """Write a learnable synthetic dataset in the reference's on-disk layout.
+
+    Each class gets a distinctive mel-band bump so few-shot accuracy well
+    above chance is achievable within a few epochs.
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    feat_dir = root / "features"
+    feat_dir.mkdir(parents=True, exist_ok=True)
+    (root / "norm_stats").mkdir(exist_ok=True)
+
+    assert sum(split_fractions) == n_classes, "split fractions must sum to n_classes"
+    class_names = [f"class_{i:03d}" for i in range(n_classes)]
+
+    all_vals = []
+    for ci, name in enumerate(class_names):
+        cdir = feat_dir / name
+        cdir.mkdir(exist_ok=True)
+        band = 4 + (ci * (n_mels - 20)) // max(n_classes - 1, 1)
+        for ii in range(items_per_class):
+            segs = rng.integers(1, max_segments + 1) if multi_segm else 1
+            x = rng.standard_normal((segs, n_mels, n_frames)).astype(np.float32)
+            x[:, band : band + 8, :] += 4.0  # class-identifying energy band
+            x += rng.standard_normal((segs, 1, 1)).astype(np.float32)  # item offset
+            arr = x if multi_segm else x[0]
+            np.save(cdir / f"item_{ii:04d}.npy", arr)
+            all_vals.append(arr)
+
+    flat = np.concatenate([a.ravel() for a in all_vals])
+    glob_norm = np.array([[[flat.mean()]], [[flat.std()]]], dtype=np.float32)
+    np.save(root / "norm_stats" / "glob_norm.npy", glob_norm)
+
+    tr, va, te = split_fractions
+    splits = np.array(
+        [
+            np.array(class_names[:tr], dtype=object),
+            np.array(class_names[tr : tr + va], dtype=object),
+            np.array(class_names[tr + va :], dtype=object),
+        ],
+        dtype=object,
+    )
+    np.save(root / "splits.npy", splits, allow_pickle=True)
+    return root

@@ -1,0 +1,186 @@
+"""Data substrate tests: packing, directory layout, episodic sampling
+properties (reference batch_creation.py semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_few_shot_learning_tpu.config import ExperimentConfig
+from audio_few_shot_learning_tpu.data import (
+    MetaAudioDataset,
+    PackedStore,
+    make_synthetic_dataset,
+    sample_episode_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    return make_synthetic_dataset(
+        tmp_path_factory.mktemp("ds"), n_classes=12, items_per_class=15, n_mels=32, n_frames=40
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_multiseg_root(tmp_path_factory):
+    return make_synthetic_dataset(
+        tmp_path_factory.mktemp("dsm"),
+        n_classes=12,
+        items_per_class=15,
+        n_mels=32,
+        n_frames=40,
+        multi_segm=True,
+        max_segments=3,
+    )
+
+
+def _exp(multi_segm=False):
+    return ExperimentConfig.from_dict({"multi_segm": multi_segm, "input_type": "spec"})
+
+
+def test_directory_scan_and_splits(synth_root):
+    ds = MetaAudioDataset(_exp(), synth_root, "train")
+    assert len(ds.class_names) == 8
+    assert len(ds) == 8 * 15
+    ds_val = MetaAudioDataset(_exp(), synth_root, "valid")
+    assert len(ds_val.class_names) == 2
+    x, y = ds[0]
+    assert x.shape == (1, 32, 40)
+    assert y == 0
+
+
+def test_packing_normalization(synth_root):
+    ds = MetaAudioDataset(_exp(), synth_root, "train")
+    store = ds.to_packed_store()
+    assert store.segments.shape == (120, 1, 32, 40)
+    assert store.n_classes == 8
+    # z-normalized with global stats: overall mean ~0, std ~1
+    vals = np.asarray(store.segments).ravel()
+    assert abs(vals.mean()) < 0.3
+    assert 0.5 < vals.std() < 1.5
+    # class table indexes items of that class
+    table = np.asarray(store.class_table)
+    labels = np.asarray(store.labels)
+    for c in range(8):
+        np.testing.assert_array_equal(labels[table[c, :15]], c)
+
+
+def test_multisegment_packing(synth_multiseg_root):
+    ds = MetaAudioDataset(_exp(True), synth_multiseg_root, "train")
+    store = ds.to_packed_store()
+    assert store.multi_segm
+    assert store.s_max == int(np.asarray(store.seg_counts).max())
+    counts = np.asarray(store.seg_counts)
+    assert counts.min() >= 1 and counts.max() <= 3
+
+
+def test_episode_sampling_structure(synth_root, rng):
+    store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
+    ep = sample_episode_batch(rng, store, n_way=5, k_support=5, k_query=5, batch=3)
+    assert ep.support.shape == (3, 25, 32, 40)
+    assert ep.query.shape == (3, 25, 32, 40)
+    np.testing.assert_array_equal(
+        np.asarray(ep.support_labels[0]), np.repeat(np.arange(5), 5)
+    )
+    np.testing.assert_array_equal(np.asarray(ep.query_labels[0]), np.repeat(np.arange(5), 5))
+    np.testing.assert_array_equal(np.asarray(ep.audio_ids[0]), np.arange(25))
+    assert np.asarray(ep.query_mask).all()
+
+
+def test_episode_no_support_query_overlap(synth_root):
+    """Support and query items never overlap within an episode, and items
+    within each group are distinct (without-replacement split)."""
+    store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
+    segs = np.asarray(store.segments[:, 0])  # identify items by content
+    for seed in range(5):
+        ep = sample_episode_batch(
+            jax.random.PRNGKey(seed), store, n_way=5, k_support=5, k_query=5, batch=1
+        )
+        sup = np.asarray(ep.support[0]).reshape(25, -1)
+        qry = np.asarray(ep.query[0]).reshape(25, -1)
+        all_rows = np.concatenate([sup, qry])
+        # all 50 rows distinct (synthetic items are a.s. unique)
+        assert len(np.unique(all_rows.round(4), axis=0)) == 50
+
+
+def test_episode_classes_vary_across_episodes(synth_root):
+    store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
+    eps = sample_episode_batch(
+        jax.random.PRNGKey(1), store, n_way=5, k_support=5, k_query=5, batch=16
+    )
+    # with 8 train classes choose 5: the sampled supports should differ
+    sups = np.asarray(eps.support).reshape(16, -1)
+    assert len(np.unique(sups.round(4), axis=0)) > 1
+
+
+def test_episode_labels_match_class_content(synth_root):
+    """All support items with the same episode label carry the same class
+    band (labels remap to sorted sampled classes)."""
+    store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
+    ep = sample_episode_batch(jax.random.PRNGKey(2), store, 5, 5, 5, batch=1)
+    sup = np.asarray(ep.support[0]).reshape(25, -1)  # [25, F*T]
+    # map each support row back to its store item by content
+    all_rows = np.asarray(store.segments[:, 0]).reshape(store.num_items, -1)
+    store_labels = np.asarray(store.labels)
+    orig_labels = []
+    for row in sup:
+        matches = np.where(np.all(np.isclose(all_rows, row, atol=1e-5), axis=1))[0]
+        assert len(matches) == 1
+        orig_labels.append(int(store_labels[matches[0]]))
+    orig_labels = np.asarray(orig_labels).reshape(5, 5)
+    # all items within an episode class share one original class
+    assert (orig_labels == orig_labels[:, :1]).all()
+    # sorted remap: original class id increases with episode label
+    firsts = orig_labels[:, 0]
+    assert (np.diff(firsts) > 0).all()
+
+
+def test_multisegment_test_episode(synth_multiseg_root):
+    store = MetaAudioDataset(_exp(True), synth_multiseg_root, "train").to_packed_store()
+    smax = store.s_max
+    ep = sample_episode_batch(
+        jax.random.PRNGKey(3), store, 5, 5, 5, is_test=True, batch=2
+    )
+    qtot = 25 * smax
+    assert ep.query.shape == (2, qtot, 32, 40)
+    np.testing.assert_array_equal(
+        np.asarray(ep.audio_ids[0]), np.repeat(np.arange(25), smax)
+    )
+    mask = np.asarray(ep.query_mask[0]).reshape(25, smax)
+    # each query has at least 1 valid segment, mask is a prefix
+    assert (mask[:, 0] == 1).all()
+    for row in mask:
+        n = int(row.sum())
+        np.testing.assert_array_equal(row[:n], 1)
+        np.testing.assert_array_equal(row[n:], 0)
+    # padded rows are zero segments, valid rows nonzero
+    q = np.asarray(ep.query[0]).reshape(25, smax, -1)
+    for i in range(25):
+        n = int(mask[i].sum())
+        for s in range(n, smax):
+            np.testing.assert_array_equal(q[i, s], 0.0)
+
+
+def test_sampler_is_jittable(synth_root, rng):
+    store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
+    f = jax.jit(
+        lambda k: sample_episode_batch(k, store, 5, 5, 5, batch=4),
+    )
+    ep = f(rng)
+    assert ep.support.shape == (4, 25, 32, 40)
+
+
+def test_insufficient_class_items_excluded():
+    """Classes with fewer than K+Q items are masked out of class sampling
+    (the reference raises, batch_creation.py:42-44; here the sampler simply
+    never picks them — richer behavior documented in PARITY notes)."""
+    items = [np.random.default_rng(i).standard_normal((8, 10)).astype(np.float32) for i in range(23)]
+    labels = [0] * 10 + [1] * 10 + [2] * 3  # class 2 has too few for 5+5
+    store = PackedStore.pack(items, labels, n_classes=3)
+    for seed in range(6):
+        ep = sample_episode_batch(jax.random.PRNGKey(seed), store, 2, 5, 5, batch=1)
+        sup = np.asarray(ep.support[0]).reshape(10, -1)
+        small_class = np.stack([i.ravel() for i in items[20:]])
+        for row in sup:
+            assert not any(np.allclose(row, s) for s in small_class)
