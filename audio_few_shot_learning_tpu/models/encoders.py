@@ -19,6 +19,7 @@ dynamics track the reference.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -31,18 +32,17 @@ from audio_few_shot_learning_tpu.ops.rnn import Recurrent
 
 def _torch_conv_init(key, shape, dtype=jnp.float32):
     # torch Conv2d: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)), fan_in = C_in*kh*kw
-    fan_in = shape[0] * shape[1] * shape[2]
-    bound = 1.0 / jnp.sqrt(fan_in)
+    bound = 1.0 / math.sqrt(shape[0] * shape[1] * shape[2])
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 def _torch_dense_init(key, shape, dtype=jnp.float32):
-    bound = 1.0 / jnp.sqrt(shape[0])
+    bound = 1.0 / math.sqrt(shape[0])
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 def _torch_bias_init(fan_in: int):
-    bound = 1.0 / float(jnp.sqrt(fan_in))
+    bound = 1.0 / math.sqrt(fan_in)
 
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -55,18 +55,20 @@ class ConvBlock(nn.Module):
 
     features: int
     pool: Tuple[int, int]
+    compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_feat = x.shape[-1]
+        cd = jnp.dtype(self.compute_dtype)
         x = nn.Conv(
             self.features,
             (3, 3),
             padding="SAME",
             kernel_init=_torch_conv_init,
             bias_init=_torch_bias_init(in_feat * 9),
-            dtype=x.dtype,
-        )(x)
+            dtype=cd,
+        )(x.astype(cd))
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
         )(x)
@@ -80,15 +82,23 @@ class ConvBlock(nn.Module):
 
 
 class ConvEncoder(nn.Module):
-    """Four identical conv blocks (main_modules.py:63-81)."""
+    """Four identical conv blocks (main_modules.py:63-81).
+
+    Convolutions run in ``compute_dtype`` (bfloat16 on TPU: MXU-native, halves
+    the HBM footprint of the pre-pool activations that cap the episode batch
+    size); BatchNorm statistics stay float32.
+    """
 
     hidden_channels: int
     pool: Tuple[int, int]
+    compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         for i in range(4):
-            x = ConvBlock(self.hidden_channels, self.pool, name=f"block{i}")(x, train)
+            x = ConvBlock(
+                self.hidden_channels, self.pool, self.compute_dtype, name=f"block{i}"
+            )(x, train)
         return x
 
 
@@ -116,11 +126,12 @@ class StandardCNN(nn.Module):
     """4-block CNN -> flatten -> logits head. Input [B, F, T] (no channel dim)."""
 
     cfg: CNNConfig
+    compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x[..., None]  # NHWC, C=1 (cfg.in_channels==1 for all datasets)
-        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim)(x, train)
+        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype)(x, train)
         x = x.reshape(x.shape[0], -1)
         return _LogitsHead(self.cfg.out_dim)(x, train)
 
@@ -135,15 +146,21 @@ class StandardHybrid(nn.Module):
     """
 
     cfg: HybridConfig
+    compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x[..., None]
-        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim)(x, train)
+        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype)(x, train)
+        x = x.astype(jnp.float32)
         b, fp, tp, c = x.shape
         seq = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, tp, fp * c)
 
-        hidden = self.cfg.hidden_channels  # reference hardcodes hidden=64 (main_modules.py:142)
+        # The reference hardcodes hidden=64 with the comment "number of output
+        # channels * floor_div(n_mels, pool, 4)" (main_modules.py:141-142) —
+        # i.e. hidden must equal the flattened conv width F'*C for the skip
+        # connection to typecheck. Generalized here to any input geometry.
+        hidden = fp * c
         out = Recurrent(
             hidden_size=hidden,
             num_layers=self.cfg.seq_layers,
@@ -163,10 +180,15 @@ class StandardHybrid(nn.Module):
         return _LogitsHead(self.cfg.out_dim)(last, train)
 
 
-def make_backbone(encoder_name: str, cnn_cfg: CNNConfig, hybrid_cfg: HybridConfig) -> nn.Module:
+def make_backbone(
+    encoder_name: str,
+    cnn_cfg: CNNConfig,
+    hybrid_cfg: HybridConfig,
+    compute_dtype: str = "bfloat16",
+) -> nn.Module:
     """Factory mirroring get_backbone_model (main_modules.py:258-285)."""
     if encoder_name == "CNN":
-        return StandardCNN(cnn_cfg)
+        return StandardCNN(cnn_cfg, compute_dtype)
     if encoder_name == "Hybrid":
-        return StandardHybrid(hybrid_cfg)
+        return StandardHybrid(hybrid_cfg, compute_dtype)
     raise ValueError(f"unknown encoder {encoder_name!r}")

@@ -8,6 +8,11 @@ models/prototypical.py:46-126):
   encode all support+query views -> fuse views (attention | batch-concat) ->
   prototypes -> -cdist scores -> contrastive projections.
 
+It natively consumes a *batch* of E episodes ([E, S, V, F, T]) — the
+episode axis folds into the encoder batch (MXU utilization) and only the
+prototype/score math is per-episode (vmapped pure functions). A single
+episode ([S, V, F, T]) is the E=1 special case.
+
 Variants, selected by config exactly like the reference:
 
 * ``use_attention=True``  -> ContrastivePrototypicalNetworks
@@ -21,7 +26,7 @@ Variants, selected by config exactly like the reference:
 Parity quirks deliberately matched:
 * contrastive_forward shuffles the augmented views but keeps the original
   first (models/prototypical.py:66-70) — here a permutation over views 1..V-1
-  is passed in as data (``shuffle_perm``);
+  is passed in as data (``shuffle_perm``, one per episode);
 * the projection head always L2-normalizes (main_modules.py:253);
 * prototypes for the contrastive loss are either projected or (caller-side)
   L2-normalized; ``project_prototypes`` overrides ``normalize_prototypes``
@@ -32,6 +37,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
@@ -45,95 +51,118 @@ from audio_few_shot_learning_tpu.ops.protohead import compute_prototypes, protot
 
 @struct.dataclass
 class EpisodeOutputs:
-    """Everything the losses/eval need from one episode forward.
+    """Everything the losses/eval need from a batch of episode forwards.
 
-    With attention: feature dim = V*embed_dim, n_support rows = S.
-    Without attention: feature dim = encoder out_dim, n_support rows = S*V
-    (views stacked view-major, labels tiled by the caller).
+    With attention: feature dim = V*embed_dim, support rows per episode = S.
+    Without attention: feature dim = encoder out_dim, support rows = S*V
+    (views stacked view-major; query labels must be tiled xV by the caller).
+    All fields have a leading episode axis E (absent when called with a
+    single unbatched episode).
     """
 
-    support_features: jnp.ndarray  # [S(*V), D]
-    query_features: jnp.ndarray  # [Q(*V), D]
-    prototypes: jnp.ndarray  # [N, D]
-    scores: jnp.ndarray  # [Q(*V), N] = -euclidean distance
-    cpl_features: Optional[jnp.ndarray]  # [Q(*V), P] projected (shuffled) queries
-    cpl_prototypes_projected: Optional[jnp.ndarray]  # [N, P]
+    support_features: jnp.ndarray  # [E, S(*V), D]
+    query_features: jnp.ndarray  # [E, Q(*V), D]
+    prototypes: jnp.ndarray  # [E, N, D]
+    scores: jnp.ndarray  # [E, Q(*V), N] = -euclidean distance
+    cpl_features: Optional[jnp.ndarray]  # [E, Q(*V), P]
+    cpl_prototypes_projected: Optional[jnp.ndarray]  # [E, N, P]
 
 
 class FewShotEpisodeModel(nn.Module):
-    """Episode-level forward. Inputs carry an explicit view axis V (V=1 when
-    augmentation is off)."""
+    """Episode-level forward over batches of episodes with an explicit view
+    axis V (V=1 when augmentation is off)."""
 
     exp: ExperimentConfig
     mdl: ModelConfig
 
     def setup(self):
-        self.backbone = make_backbone(self.exp.encoder_name, self.mdl.cnn, self.mdl.hybrid)
+        self.backbone = make_backbone(
+            self.exp.encoder_name,
+            self.mdl.cnn,
+            self.mdl.hybrid,
+            compute_dtype=self.exp.tpu.compute_dtype,
+        )
         if self.exp.use_attention:
             self.attention = SelfAttention(self.mdl.attention)
         self.projection = ProjectionHead(self.mdl.projection)
 
-    def encode_views(self, views: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """[B, V, F, T] -> [B, V, D] per-view backbone features.
-
-        The whole (B*V) block goes through the backbone as one batch — this is
-        the MXU-friendly replacement for the reference's per-view Python loop
-        (models/main_modules.py:18-23). BatchNorm batch statistics are
-        therefore computed over all views/items of the step jointly rather
-        than per 25-item view group (documented deviation; identical running
-        stats in expectation, identical eval behavior).
-        """
-        b, v, f, t = views.shape
-        flat = views.reshape(b * v, f, t)
-        feats = self.backbone(flat, train=train)
-        return feats.reshape(b, v, -1)
-
     def __call__(
         self,
-        support_views: jnp.ndarray,  # [S, V, F, T]
-        query_views: jnp.ndarray,  # [Q, V, F, T]
-        support_labels: jnp.ndarray,  # [S] ints (pre-tiling; tiled here if needed)
+        support_views: jnp.ndarray,  # [E, S, V, F, T] or [S, V, F, T]
+        query_views: jnp.ndarray,  # [E, Q, V, F, T] or [Q, V, F, T]
+        support_labels: jnp.ndarray,  # [E, S] or [S] ints (pre-tiling)
         n_way: int,
-        shuffle_perm: Optional[jnp.ndarray] = None,  # [V-1] permutation of 1..V-1
+        shuffle_perm: Optional[jnp.ndarray] = None,  # [E, V-1] or [V-1]
         train: bool = False,
         with_contrastive: bool = False,
     ) -> EpisodeOutputs:
-        s, v = support_views.shape[:2]
-        q = query_views.shape[0]
-        # one backbone pass over every (item, view) of the episode
-        all_views = jnp.concatenate([support_views, query_views], axis=0)
-        feats = self.encode_views(all_views, train)  # [S+Q, V, D]
-        sup_f, qry_f = feats[:s], feats[s:]
+        single = support_views.ndim == 4
+        if single:
+            support_views = support_views[None]
+            query_views = query_views[None]
+            support_labels = support_labels[None]
+            if shuffle_perm is not None:
+                shuffle_perm = shuffle_perm[None]
+
+        e, s, vs, f, t = support_views.shape
+        q, vq = query_views.shape[1:3]
+        if self.exp.use_attention and vs != vq:
+            # reference crashes on mismatched feature dims (cdist 256 vs 64);
+            # rejected here with a clear error instead
+            raise ValueError(
+                "use_attention requires equal support/query view counts "
+                f"(got {vs} vs {vq}) — enable query augmentations"
+            )
+
+        # one backbone pass over every (episode, item, view) — the reference's
+        # per-view Python loop (main_modules.py:18-23) folded into one batch
+        flat = jnp.concatenate(
+            [support_views.reshape(e * s * vs, f, t), query_views.reshape(e * q * vq, f, t)],
+            axis=0,
+        )
+        feats = self.backbone(flat, train=train).astype(jnp.float32)
+        sup_f = feats[: e * s * vs].reshape(e, s, vs, -1)
+        qry_f = feats[e * s * vs :].reshape(e, q, vq, -1)
+        d = feats.shape[-1]
 
         if self.exp.use_attention:
-            fused = self.attention(feats, train=train)  # [S+Q, V*D]
-            support_features = fused[:s]
-            query_features = fused[s:]
+            v = vs
+            fused = self.attention(
+                jnp.concatenate([sup_f, qry_f], axis=1).reshape(e * (s + q), v, d),
+                train=train,
+            ).reshape(e, s + q, v * d)
+            support_features = fused[:, :s]
+            query_features = fused[:, s:]
             labels = support_labels
         else:
             # concat along batch, view-major (prototypical.py:103-106); labels
             # tiled xV like loops/loops.py:33-37
-            support_features = jnp.swapaxes(sup_f, 0, 1).reshape(s * v, -1)
-            query_features = jnp.swapaxes(qry_f, 0, 1).reshape(q * v, -1)
-            labels = jnp.tile(support_labels, v)
+            support_features = jnp.swapaxes(sup_f, 1, 2).reshape(e, s * vs, -1)
+            query_features = jnp.swapaxes(qry_f, 1, 2).reshape(e, q * vq, -1)
+            labels = jnp.tile(support_labels, (1, vs))
 
-        prototypes = compute_prototypes(support_features, labels, n_way)
-        scores = prototype_scores(query_features, prototypes)
+        prototypes = jax.vmap(lambda sf, lb: compute_prototypes(sf, lb, n_way))(
+            support_features, labels
+        )
+        scores = jax.vmap(prototype_scores)(query_features, prototypes)
 
         cpl_features = None
         cpl_protos_proj = None
         if with_contrastive:
             if self.exp.use_attention:
                 if shuffle_perm is None:
-                    shuffle_perm = jnp.arange(1, v)
-                idx = jnp.concatenate([jnp.zeros((1,), shuffle_perm.dtype), shuffle_perm])
-                shuffled = jnp.take(qry_f, idx, axis=1)  # original stays first
-                cpl_features = self.projection(self.attention(shuffled, train=train))
+                    shuffle_perm = jnp.broadcast_to(jnp.arange(1, vq), (e, vq - 1))
+                idx = jnp.concatenate(
+                    [jnp.zeros((e, 1), shuffle_perm.dtype), shuffle_perm], axis=1
+                )  # original stays first
+                shuffled = jnp.take_along_axis(qry_f, idx[:, None, :, None], axis=2)
+                cpl_in = self.attention(shuffled.reshape(e * q, vq, d), train=train)
+                cpl_features = self.projection(cpl_in).reshape(e, q, -1)
             else:
                 cpl_features = self.projection(query_features)
             cpl_protos_proj = self.projection(prototypes)
 
-        return EpisodeOutputs(
+        out = EpisodeOutputs(
             support_features=support_features,
             query_features=query_features,
             prototypes=prototypes,
@@ -141,3 +170,6 @@ class FewShotEpisodeModel(nn.Module):
             cpl_features=cpl_features,
             cpl_prototypes_projected=cpl_protos_proj,
         )
+        if single:
+            out = jax.tree.map(lambda x: x[0], out)
+        return out

@@ -10,6 +10,7 @@ nonlinearity, uniform ±1/sqrt(H) init) so training dynamics match.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -36,11 +37,11 @@ class _RecurrentDirection(nn.Module):
         b, t, i = x.shape
         h = self.hidden_size
         n_gates = {"RNN": 1, "GRU": 3, "LSTM": 4}[self.cell_type]
-        k = 1.0 / jnp.sqrt(h)
-        w_ih = self.param("w_ih", _uniform_init(float(k)), (i, n_gates * h))
-        w_hh = self.param("w_hh", _uniform_init(float(k)), (h, n_gates * h))
-        b_ih = self.param("b_ih", _uniform_init(float(k)), (n_gates * h,))
-        b_hh = self.param("b_hh", _uniform_init(float(k)), (n_gates * h,))
+        k = 1.0 / math.sqrt(h)
+        w_ih = self.param("w_ih", _uniform_init(k), (i, n_gates * h))
+        w_hh = self.param("w_hh", _uniform_init(k), (h, n_gates * h))
+        b_ih = self.param("b_ih", _uniform_init(k), (n_gates * h,))
+        b_hh = self.param("b_hh", _uniform_init(k), (n_gates * h,))
 
         x_proj = jnp.einsum("bti,ig->btg", x, w_ih) + b_ih  # hoisted input matmul
 

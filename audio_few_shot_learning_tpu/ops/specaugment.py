@@ -96,13 +96,37 @@ def _warp_matrix(ys: jnp.ndarray, t_len: int) -> jnp.ndarray:
     return m.astype(jnp.float32)
 
 
+def _warp_gather(spec: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear time-warp as a gather along the time axis.
+
+    spec: [B, F, T]; ys: [B, T] normalized source positions. Equivalent to the
+    interpolation-matrix matmul but with no [T, T] intermediates — the form
+    XLA:TPU compiles and schedules well (the per-item batched-matmul version
+    sends the TPU compiler into a pathological search at batch > ~100).
+    """
+    b, f, t_len = spec.shape
+    src = (ys + 1.0) * 0.5 * (t_len - 1)  # pixel coords, align_corners=True
+    s0 = jnp.floor(src)
+    w1 = src - s0
+    w0 = 1.0 - w1
+    s1 = s0 + 1.0
+    valid0 = (s0 >= 0) & (s0 <= t_len - 1)
+    valid1 = (s1 >= 0) & (s1 <= t_len - 1)
+    w0 = jnp.where(valid0, w0, 0.0)[:, None, :]
+    w1 = jnp.where(valid1, w1, 0.0)[:, None, :]
+    i0 = jnp.clip(s0, 0, t_len - 1).astype(jnp.int32)[:, None, :]
+    i1 = jnp.clip(s1, 0, t_len - 1).astype(jnp.int32)[:, None, :]
+    g0 = jnp.take_along_axis(spec, jnp.broadcast_to(i0, spec.shape), axis=2)
+    g1 = jnp.take_along_axis(spec, jnp.broadcast_to(i1, spec.shape), axis=2)
+    return (w0 * g0.astype(jnp.float32) + w1 * g1.astype(jnp.float32)).astype(spec.dtype)
+
+
 def time_warp(spec: jnp.ndarray, key: jax.Array, w: int) -> jnp.ndarray:
     """Per-item Hermite time warp. spec: [B, F, T] -> [B, F, T]."""
     b, f, t_len = spec.shape
     keys = jax.random.split(key, b)
     ys = jax.vmap(lambda k: _hermite_warp_positions(k, t_len, w))(keys)  # [B, T]
-    mats = jax.vmap(lambda y: _warp_matrix(y, t_len))(ys)  # [B, T, T]
-    return jnp.einsum("bft,btu->bfu", spec.astype(jnp.float32), mats).astype(spec.dtype)
+    return _warp_gather(spec, ys)
 
 
 def _mask_bounds_freq(key: jax.Array, num_mask: int, mask_param: int, f_len: int):
@@ -161,18 +185,18 @@ def spec_augment_views(
     fmask = _interval_mask(flo, fhi, f_len)  # [F] bool, batch-shared
 
     keys = jax.random.split(k_warp, b)
-    ys = jax.vmap(lambda k: _hermite_warp_positions(k, t_len, params.W))(keys)
-    mats = jax.vmap(lambda y: _warp_matrix(y, t_len))(ys)  # [B, T, T]
+    ys = jax.vmap(lambda k: _hermite_warp_positions(k, t_len, params.W))(keys)  # [B, T]
 
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas:
+        mats = jax.vmap(lambda y: _warp_matrix(y, t_len))(ys)  # [B, T, T]
         return _views_pallas(spec, mats, tmask, fmask, float(params.mask_value))
-    return _views_xla(spec, mats, tmask, fmask, float(params.mask_value))
+    return _views_xla(spec, ys, tmask, fmask, float(params.mask_value))
 
 
-def _views_xla(spec, mats, tmask, fmask, mask_value):
-    warped = jnp.einsum("bft,btu->bfu", spec.astype(jnp.float32), mats).astype(spec.dtype)
+def _views_xla(spec, ys, tmask, fmask, mask_value):
+    warped = _warp_gather(spec, ys)
     tview = jnp.where(tmask[None, None, :], mask_value, spec)
     fview = jnp.where(fmask[None, :, None], mask_value, spec)
     return jnp.stack([spec, warped, tview, fview], axis=1)

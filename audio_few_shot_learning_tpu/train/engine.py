@@ -1,0 +1,384 @@
+"""The training/evaluation engine.
+
+The reference's hot loop (loops/loops.py:19-64) does, per task, synchronous
+disk reads, CPU augmentation, an H2D copy, 4 backbone passes and an optimizer
+step — the GPU idles most of the time (SURVEY.md §3.1). Here the *entire
+epoch* is one XLA program: ``lax.scan`` over fused train steps, each of which
+samples a batch of E episodes from the HBM-resident store, augments on
+device, runs the episode model, computes FSL (+CPL/APL) losses, and applies
+the Adam update. Nothing touches the host between epochs.
+
+Episode batching semantics: the reference takes one optimizer step per
+episode; ``episode_batch=1`` reproduces that exactly, E>1 averages the
+gradient over E episodes per step (throughput lever, documented deviation).
+
+Multi-chip: episode batches shard over the ``episode`` mesh axis; parameters
+are replicated and XLA inserts the psum for the gradient mean over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
+from audio_few_shot_learning_tpu.data.episodes import EpisodeBatch, sample_episode
+from audio_few_shot_learning_tpu.data.store import PackedStore
+from audio_few_shot_learning_tpu.losses import angular_loss, cpl_loss, fsl_loss
+from audio_few_shot_learning_tpu.ops.specaugment import spec_augment_views
+from audio_few_shot_learning_tpu.parallel.mesh import (
+    episode_sharding,
+    make_mesh,
+    replicated,
+)
+from audio_few_shot_learning_tpu.train.evaluate import majority_vote_accuracy
+from audio_few_shot_learning_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+
+NUM_SPECAUG_VIEWS = 4  # fixed 4-view expansion (utils/augmentations.py:148-157)
+
+
+def _l2norm(x, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+class Trainer:
+    """Owns the model, optimizer, compiled step functions and the stores."""
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        mdl: ModelConfig,
+        train_store: PackedStore,
+        val_store: Optional[PackedStore] = None,
+        test_store: Optional[PackedStore] = None,
+        mesh=None,
+        seed: Optional[int] = None,
+    ):
+        self.exp = exp
+        self.mdl = mdl
+        self.train_store = train_store
+        self.val_store = val_store
+        self.test_store = test_store
+        self.mesh = mesh if mesh is not None else make_mesh(exp.tpu.mesh_shape)
+
+        self.specaug = exp.input_type == "spec" and exp.specaug_params.use
+        self.v_support = NUM_SPECAUG_VIEWS if self.specaug else 1
+
+        self.episode_batch = exp.tpu.episode_batch
+        self.eval_episode_batch = exp.tpu.eval_episode_batch
+        self.steps_per_epoch = -(-exp.n_training_tasks // self.episode_batch)
+
+        self.optimizer = make_optimizer(
+            exp.lr, exp.scheduler_milestones, exp.scheduler_gamma, self.steps_per_epoch
+        )
+        key = jax.random.PRNGKey(exp.tpu.seed if seed is None else seed)
+        self.init_key, self.run_key = jax.random.split(key)
+        self.model, self.state = create_train_state(
+            self.init_key,
+            exp,
+            mdl,
+            feat_shape=train_store.feat_shape,
+            optimizer=self.optimizer,
+            v_support=self.v_support,
+            v_query=self._v_query(exp.train_query_augmentations),
+        )
+        self._epoch_fn = None
+        self._eval_fns: Dict = {}
+        # throughput accounting
+        self.last_epoch_seconds: Optional[float] = None
+        # episode-axis sharding constraint (multi-chip DP; no-op on 1 device)
+        self._ep_sharding = (
+            episode_sharding(self.mesh) if self.mesh.size > 1 else None
+        )
+
+    def _shard_episodes(self, ep: EpisodeBatch) -> EpisodeBatch:
+        if self._ep_sharding is None:
+            return ep
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, self._ep_sharding), ep
+        )
+
+    # ------------------------------------------------------------------
+    # view construction
+    # ------------------------------------------------------------------
+
+    def _v_query(self, augment_query: bool) -> int:
+        return NUM_SPECAUG_VIEWS if (self.specaug and augment_query) else 1
+
+    def _make_views(self, specs: jnp.ndarray, key: jax.Array, enabled: bool) -> jnp.ndarray:
+        """[E, B, F, T] -> [E, B, V, F, T]; per-episode augmentation draws
+        (masks shared within an episode, like one SpecAugment call per episode,
+        utils/augmentations.py:49-56)."""
+        if not enabled:
+            return specs[:, :, None]
+        e = specs.shape[0]
+        keys = jax.random.split(key, e)
+        views = jax.vmap(
+            lambda s, k: spec_augment_views(s, k, self.exp.specaug_params, use_pallas=False)
+        )(specs, keys)  # [E, B, 4, F, T]
+        return views
+
+    # ------------------------------------------------------------------
+    # train step / epoch
+    # ------------------------------------------------------------------
+
+    def _loss_and_metrics(self, params, batch_stats, ep: EpisodeBatch, key, n_way, vq):
+        exp = self.exp
+        e = ep.support.shape[0]
+        k_aug_s, k_aug_q, k_drop, k_perm, k_cpl = jax.random.split(key, 5)
+
+        sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
+        qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
+
+        if exp.use_attention and vq > 1:
+            perms = jax.vmap(lambda k: jax.random.permutation(k, jnp.arange(1, vq)))(
+                jax.random.split(k_perm, e)
+            )
+        else:
+            perms = None
+
+        outs, updates = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            sup_views,
+            qry_views,
+            ep.support_labels,
+            n_way,
+            shuffle_perm=perms,
+            train=True,
+            with_contrastive=exp.use_contrastive,
+            rngs={"dropout": k_drop},
+            mutable=["batch_stats"],
+        )
+
+        tile = 1 if exp.use_attention else vq
+        q_labels = jnp.tile(ep.query_labels, (1, tile))  # loops/loops.py:36-37
+
+        fsl = jax.vmap(fsl_loss)(outs.scores, q_labels)  # [E]
+
+        aux = jnp.zeros_like(fsl)
+        if exp.use_contrastive and (exp.loss.cpl.use or exp.loss.angular.use):
+            if exp.project_prototypes:
+                protos_c = outs.cpl_prototypes_projected  # project overrides normalize
+            elif exp.normalize_prototypes:
+                protos_c = _l2norm(outs.prototypes)
+            else:
+                protos_c = outs.prototypes
+            if exp.loss.cpl.use:
+                cpl_keys = jax.random.split(k_cpl, e)
+                aux = jax.vmap(
+                    lambda p, qf, lb, k: cpl_loss(
+                        p, qf, lb, k, exp.loss.cpl.m_param, exp.loss.cpl.t_param
+                    )
+                )(protos_c, outs.cpl_features, q_labels, cpl_keys)
+            else:
+                aux = jax.vmap(
+                    lambda p, qf, lb: angular_loss(
+                        p,
+                        qf,
+                        lb,
+                        exp.loss.angular.angle,
+                        exp.loss.angular.prototypes_as_anchors,
+                    )
+                )(protos_c, outs.cpl_features, q_labels)
+
+        total = jnp.mean(fsl + exp.loss.l_param * aux)
+        metrics = {
+            "loss": total,
+            "fsl_loss": jnp.mean(fsl),
+            "cpl_loss": jnp.mean(aux),
+        }
+        return total, (metrics, updates["batch_stats"])
+
+    def _train_step(self, state: TrainState, store: PackedStore, key: jax.Array):
+        exp = self.exp
+        n_way = exp.n_way_train
+        vq = self._v_query(exp.train_query_augmentations)
+        k_sample, k_loss = jax.random.split(key)
+        ep_keys = jax.random.split(k_sample, self.episode_batch)
+        ep = jax.vmap(
+            lambda k: sample_episode(
+                k, store, n_way, exp.n_shot_train, exp.n_query_train, False
+            )
+        )(ep_keys)
+        ep = self._shard_episodes(ep)
+
+        grad_fn = jax.value_and_grad(self._loss_and_metrics, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, ep, k_loss, n_way, vq
+        )
+        upd, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    def _build_epoch_fn(self):
+        steps = self.steps_per_epoch
+
+        # The store is a jit ARGUMENT (not a closed-over constant: that would
+        # embed the multi-GB packed split into the program and ship it to the
+        # compiler per compile) and a scan-INVARIANT (not part of the carry:
+        # XLA double-buffers carries, which would copy the store every step).
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state: TrainState, store: PackedStore, key: jax.Array):
+            keys = jax.random.split(key, steps)
+            return jax.lax.scan(
+                lambda st, k: self._train_step(st, store, k), state, keys
+            )
+
+        return epoch_fn
+
+    def train_epoch(self) -> Dict[str, float]:
+        """One epoch == one device execution (scan over fused steps)."""
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        self.run_key, k = jax.random.split(self.run_key)
+        t0 = time.perf_counter()
+        self.state, metrics = self._epoch_fn(self.state, self.train_store, k)
+        metrics = jax.device_get(metrics)
+        self.last_epoch_seconds = time.perf_counter() - t0
+        out = {name: float(np.mean(vals)) for name, vals in metrics.items()}
+        if not (self.exp.use_contrastive and (self.exp.loss.cpl.use or self.exp.loss.angular.use)):
+            out["cpl_loss"] = float("nan")  # reference reports NaN (loops/loops.py:59)
+        out["episodes_per_sec"] = (
+            self.steps_per_epoch * self.episode_batch / self.last_epoch_seconds
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def _eval_batch(
+        self,
+        state: TrainState,
+        store: PackedStore,
+        key: jax.Array,
+        n_way: int,
+        k_shot: int,
+        k_query: int,
+        augment_query: bool,
+        multisegment: bool,
+        tie_strategy: str,
+        batch: int,
+    ) -> jnp.ndarray:
+        """Accuracies for one batch of eval episodes. Returns [batch]."""
+        exp = self.exp
+        vq = self._v_query(augment_query)
+        k_sample, k_aug_s, k_aug_q = jax.random.split(key, 3)
+        ep_keys = jax.random.split(k_sample, batch)
+        ep = jax.vmap(
+            lambda k: sample_episode(k, store, n_way, k_shot, k_query, multisegment)
+        )(ep_keys)
+        ep = self._shard_episodes(ep)
+
+        sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
+        qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
+
+        outs = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sup_views,
+            qry_views,
+            ep.support_labels,
+            n_way,
+            train=False,
+            with_contrastive=False,
+        )
+        tile = 1 if exp.use_attention else vq
+        q_labels = jnp.tile(ep.query_labels, (1, tile))
+
+        if not multisegment:
+            preds = jnp.argmax(outs.scores, axis=-1)  # [E, Q*]
+            return jnp.mean((preds == q_labels).astype(jnp.float32), axis=-1)
+
+        # multi-segment majority vote. Quirk preserved: the no-attention
+        # variant's extra view rows are ignored because the reference's
+        # audio_ids are never tiled (loops/loops.py:257-277) — votes use the
+        # original-view block, which is first in view-major order.
+        qtot = ep.query.shape[1]  # Q * S_max rows (original view)
+        smax = store.s_max
+        q = qtot // smax
+        scores0 = outs.scores[:, :qtot]
+        preds = jnp.argmax(scores0, axis=-1).reshape(batch, q, smax)
+        posts = jnp.max(scores0, axis=-1).reshape(batch, q, smax)
+        mask = ep.query_mask.reshape(batch, q, smax)
+        true = ep.query_labels.reshape(batch, q, smax)[:, :, 0]
+        return jax.vmap(
+            lambda p, po, m, t: majority_vote_accuracy(p, po, m, t, n_way, tie_strategy)
+        )(preds, posts, mask, true)
+
+    def evaluate(
+        self,
+        store: PackedStore,
+        n_tasks: int,
+        n_way: int,
+        k_shot: int,
+        k_query: int,
+        augment_query: bool,
+        multisegment: bool = False,
+        tie_strategy: str = "",
+    ) -> Tuple[float, float]:
+        """Mean/std of per-task accuracy over n_tasks episodes."""
+        batch = min(self.eval_episode_batch, n_tasks)
+        cache_key = (store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
+        if cache_key not in self._eval_fns:
+            self._eval_fns[cache_key] = jax.jit(
+                functools.partial(
+                    self._eval_batch,
+                    n_way=n_way,
+                    k_shot=k_shot,
+                    k_query=k_query,
+                    augment_query=augment_query,
+                    multisegment=multisegment,
+                    tie_strategy=tie_strategy,
+                    batch=batch,
+                )
+            )
+        fn = self._eval_fns[cache_key]
+        accs = []
+        remaining = n_tasks
+        while remaining > 0:
+            self.run_key, k = jax.random.split(self.run_key)
+            accs.append(np.asarray(jax.device_get(fn(self.state, store, k))))
+            remaining -= batch
+        accs = np.concatenate(accs)[:n_tasks]
+        return float(accs.mean()), float(accs.std())
+
+    def validate(self) -> Tuple[float, float]:
+        exp = self.exp
+        return self.evaluate(
+            self.val_store,
+            n_tasks=exp.n_training_tasks,  # reference uses num_train_tasks for val (src/train_test.py:136)
+            n_way=exp.n_way_validation,
+            k_shot=exp.n_shot_validation,
+            k_query=exp.n_query_validation,
+            augment_query=exp.validation_query_augmentations,
+        )
+
+    def test(self) -> Dict[str, float]:
+        exp = self.exp
+        mean, std = self.evaluate(
+            self.test_store,
+            n_tasks=exp.n_testing_tasks,
+            n_way=exp.n_way_test,
+            k_shot=exp.n_shot_test,
+            k_query=exp.n_query_test,
+            augment_query=exp.test_query_augmentations,
+            multisegment=exp.multi_segm,
+            tie_strategy=exp.tie_strategy,
+        )
+        return {"mean_accuracy": mean, "accuracy_std": std}

