@@ -74,12 +74,22 @@ class MetaAudioDataset:
             x = (x - self.mean) / self.std
         return x, self.labels[item]
 
-    def to_packed_store(self, dtype=np.float32, device=None) -> PackedStore:
-        if self.input_type != "spec":
-            raise NotImplementedError(
-                "wav-input stores are assembled by the wav pipeline (ops/waveaugment)"
-            )
+    def to_packed_store(self, dtype=np.float32, device=None):
         items = [np.load(p, allow_pickle=True) for p in self.filepaths]
+        if self.input_type == "wav":
+            from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
+
+            seg_s = 4 if "nsynth" in self.experiment_config.dataset_name.lower() else 5
+            return PackedWavStore.pack(
+                items,
+                self.labels,
+                n_classes=len(self.class_names),
+                mean=self.mean,
+                std=self.std,
+                multi_segm=self.multi_segm,
+                segment_seconds=seg_s,
+                device=device,
+            )
         return PackedStore.pack(
             items,
             self.labels,
@@ -95,6 +105,62 @@ def load_packed_split(
     exp: ExperimentConfig, root: Union[str, Path], split: str, dtype=np.float32, device=None
 ) -> PackedStore:
     return MetaAudioDataset(exp, root, split).to_packed_store(dtype=dtype, device=device)
+
+
+def make_synthetic_wav_dataset(
+    root: Union[str, Path],
+    n_classes: int = 12,
+    items_per_class: int = 12,
+    sr: int = 16000,
+    seconds: float = 2.0,
+    variable_length: bool = False,
+    split_fractions: Tuple[int, int, int] = (8, 2, 2),
+    seed: int = 0,
+) -> Path:
+    """Synthetic raw-waveform dataset (``waveforms_npy/`` layout) with
+    class-identifying tones; ``norm_stats`` holds post-mel global stats as the
+    wav pipeline expects (batch_creation.py:139-143)."""
+    from audio_few_shot_learning_tpu.ops.mel import MelSpec
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    wav_dir = root / "waveforms_npy"
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    (root / "norm_stats").mkdir(exist_ok=True)
+    assert sum(split_fractions) == n_classes
+
+    class_names = [f"class_{i:03d}" for i in range(n_classes)]
+    mel = MelSpec(flavor="online", use_pallas=False)
+    mel_vals = []
+    for ci, name in enumerate(class_names):
+        cdir = wav_dir / name
+        cdir.mkdir(exist_ok=True)
+        freq = 200.0 + 300.0 * ci
+        for ii in range(items_per_class):
+            dur = seconds * (0.5 + rng.random() * 1.5) if variable_length else seconds
+            n = int(sr * dur)
+            t = np.arange(n) / sr
+            x = np.sin(2 * np.pi * freq * t) + 0.3 * rng.standard_normal(n)
+            x = (x / max(np.abs(x).max(), 1e-6)).astype(np.float32)
+            np.save(cdir / f"item_{ii:04d}.npy", x)
+            if ii < 2:  # subsample for stats
+                mel_vals.append(np.asarray(mel(x[: sr])).ravel())
+
+    flat = np.concatenate(mel_vals)
+    glob_norm = np.array([[[flat.mean()]], [[flat.std()]]], dtype=np.float32)
+    np.save(root / "norm_stats" / "glob_norm.npy", glob_norm)
+
+    tr, va, te = split_fractions
+    splits = np.array(
+        [
+            np.array(class_names[:tr], dtype=object),
+            np.array(class_names[tr : tr + va], dtype=object),
+            np.array(class_names[tr + va :], dtype=object),
+        ],
+        dtype=object,
+    )
+    np.save(root / "splits.npy", splits, allow_pickle=True)
+    return root
 
 
 def make_synthetic_dataset(

@@ -127,6 +127,75 @@ def sample_episode(
     )
 
 
+def sample_wav_episode(
+    key: jax.Array,
+    store,
+    n_way: int,
+    k_support: int,
+    k_query: int,
+    is_test: bool,
+) -> EpisodeBatch:
+    """Wav-store episode: same class/item sampling, segments extracted from
+    packed waveforms by index arithmetic (reference batch_creation.py:74-106).
+    Episode arrays hold raw waveforms [.., L]; mel happens downstream."""
+    k_cls, k_items, k_seg_s, k_seg_q = jax.random.split(key, 4)
+
+    cls_mask = (store.class_counts >= (k_support + k_query)).astype(jnp.float32)
+    classes = jnp.sort(_choose_without_replacement(k_cls, cls_mask, n_way))
+
+    def per_class(kc, c):
+        row = store.class_table[c]
+        count = store.class_counts[c]
+        valid = jnp.arange(row.shape[0]) < count
+        idx = _choose_without_replacement(kc, valid.astype(jnp.float32), k_support + k_query)
+        items = row[idx]
+        return items[:k_support], items[k_support:]
+
+    cls_keys = jax.random.split(k_items, n_way)
+    sup_items, qry_items = jax.vmap(per_class)(cls_keys, classes)
+    sup_items = sup_items.reshape(-1)
+    qry_items = qry_items.reshape(-1)
+
+    s = n_way * k_support
+    qn = n_way * k_query
+    support_labels = jnp.repeat(jnp.arange(n_way), k_support)
+    query_labels_base = jnp.repeat(jnp.arange(n_way), k_query)
+
+    def pick_segment(k, item):
+        u = jax.random.uniform(k, ())
+        seg = jnp.floor(u * store.seg_counts[item].astype(jnp.float32)).astype(jnp.int32)
+        return jnp.minimum(seg, store.seg_counts[item] - 1)
+
+    sup_seg = jax.vmap(pick_segment)(jax.random.split(k_seg_s, s), sup_items)
+    support = jax.vmap(store.extract_segment)(sup_items, sup_seg)  # [S, L]
+
+    if not is_test or not store.multi_segm:
+        qry_seg = jax.vmap(pick_segment)(jax.random.split(k_seg_q, qn), qry_items)
+        query = jax.vmap(store.extract_segment)(qry_items, qry_seg)
+        return EpisodeBatch(
+            support=support,
+            support_labels=support_labels,
+            query=query,
+            query_labels=query_labels_base,
+            audio_ids=jnp.arange(qn),
+            query_mask=jnp.ones((qn,), jnp.float32),
+        )
+
+    smax = store.s_max
+    item_rep = jnp.repeat(qry_items, smax)
+    seg_rep = jnp.tile(jnp.arange(smax), qn)
+    query = jax.vmap(store.extract_segment)(item_rep, jnp.minimum(seg_rep, store.seg_counts[item_rep] - 1))
+    seg_valid = seg_rep < store.seg_counts[item_rep]
+    return EpisodeBatch(
+        support=support,
+        support_labels=support_labels,
+        query=query,
+        query_labels=jnp.repeat(query_labels_base, smax),
+        audio_ids=jnp.repeat(jnp.arange(qn), smax),
+        query_mask=seg_valid.astype(jnp.float32),
+    )
+
+
 def sample_episode_batch(
     key: jax.Array,
     store: PackedStore,

@@ -1,0 +1,118 @@
+"""Packed waveform store for ``input_type='wav'`` configs.
+
+The reference's wav branch (datasets/batch_creation.py:74-106) loads raw
+waveforms per item, segments 5 s chunks in Python (``variable_wav_splits``),
+augments on GPU and extracts mel on device. Here waveforms are packed once
+into a padded [I, L_max] array; segment extraction is index arithmetic inside
+jit, including the reference's segmentation semantics:
+
+  * len < 5 s      -> 1 segment = tile(sample)[:5 s]
+  * tail remainder -> segment = tile(whole sample)[:5 s]
+    (batch_creation.py:201-208 repeats the WHOLE sample for the tail)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from audio_few_shot_learning_tpu.config import SAMPLE_RATE, SEGMENT_SECONDS
+
+
+@struct.dataclass
+class PackedWavStore:
+    waveforms: jnp.ndarray  # [I, L_max] zero-padded
+    lengths: jnp.ndarray  # [I] int32 true lengths
+    seg_counts: jnp.ndarray  # [I] int32 (1 for single-segment stores)
+    labels: jnp.ndarray  # [I] int32
+    class_table: jnp.ndarray  # [C, M_max]
+    class_counts: jnp.ndarray  # [C]
+    mean: jnp.ndarray  # scalar — glob_norm stats applied AFTER mel
+    std: jnp.ndarray  # scalar
+    n_classes: int = struct.field(pytree_node=False)
+    s_max: int = struct.field(pytree_node=False)
+    multi_segm: bool = struct.field(pytree_node=False)
+    seg_len: int = struct.field(pytree_node=False)
+
+    @property
+    def num_items(self) -> int:
+        return self.waveforms.shape[0]
+
+    @property
+    def feat_shape(self):
+        return (self.seg_len,)
+
+    @staticmethod
+    def pack(
+        waveforms: Sequence[np.ndarray],
+        labels: Sequence[int],
+        n_classes: Optional[int] = None,
+        mean: float = 0.0,
+        std: float = 1.0,
+        multi_segm: bool = False,
+        segment_seconds: int = SEGMENT_SECONDS,
+        sr: int = SAMPLE_RATE,
+        device: Optional[jax.Device] = None,
+    ) -> "PackedWavStore":
+        labels_np = np.asarray(labels, dtype=np.int32)
+        if n_classes is None:
+            n_classes = int(labels_np.max()) + 1 if len(labels_np) else 0
+
+        lengths = np.asarray([w.shape[0] for w in waveforms], dtype=np.int32)
+        l_max = int(lengths.max()) if len(lengths) else segment_seconds * sr
+        # non-multi-segment wav datasets use the whole (fixed-length) waveform
+        # (batch_creation.py:83-84: reshape(1,-1), no segmentation)
+        seg_len = segment_seconds * sr if multi_segm else l_max
+        packed = np.zeros((len(waveforms), l_max), dtype=np.float32)
+        for i, w in enumerate(waveforms):
+            packed[i, : w.shape[0]] = np.asarray(w, dtype=np.float32)
+
+        if multi_segm:
+            # ceil(len/seg_len); short samples get exactly 1 (repeat-padded)
+            seg_counts = np.maximum(-(-lengths // seg_len), 1).astype(np.int32)
+        else:
+            seg_counts = np.ones_like(lengths)
+        s_max = int(seg_counts.max()) if len(lengths) else 1
+
+        counts = np.bincount(labels_np, minlength=n_classes).astype(np.int32)
+        m_max = int(counts.max()) if len(counts) else 1
+        table = np.zeros((n_classes, m_max), dtype=np.int32)
+        fill = np.zeros(n_classes, dtype=np.int32)
+        for idx, lab in enumerate(labels_np):
+            table[lab, fill[lab]] = idx
+            fill[lab] += 1
+
+        put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
+        return PackedWavStore(
+            waveforms=put(packed),
+            lengths=put(lengths),
+            seg_counts=put(seg_counts),
+            labels=put(labels_np),
+            class_table=put(table),
+            class_counts=put(counts),
+            mean=jnp.asarray(mean, jnp.float32),
+            std=jnp.asarray(std, jnp.float32),
+            n_classes=n_classes,
+            s_max=s_max,
+            multi_segm=multi_segm,
+            seg_len=seg_len,
+        )
+
+    def extract_segment(self, item: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
+        """Segment ``seg`` of item ``item`` -> [seg_len] with the reference's
+        repeat/tail semantics, as pure index arithmetic (jit-friendly)."""
+        length = self.lengths[item]
+        start = seg * self.seg_len
+        to_end = length - start
+        # full segment available -> positions start+j; otherwise tail/short
+        # case -> tile(whole sample)[:seg_len] == positions j % length
+        j = jnp.arange(self.seg_len)
+        full = to_end >= self.seg_len
+        pos_full = start + j
+        pos_tail = j % jnp.maximum(length, 1)
+        pos = jnp.where(full, pos_full, pos_tail)
+        return self.waveforms[item, jnp.clip(pos, 0, self.waveforms.shape[1] - 1)]

@@ -77,6 +77,11 @@ class ConvBlock(nn.Module):
         ph, pw = self.pool
         h = (x.shape[1] // ph) * ph
         w = (x.shape[2] // pw) * pw
+        if h == 0 or w == 0:
+            raise ValueError(
+                f"pool {self.pool} collapses a {x.shape[1]}x{x.shape[2]} map to zero — "
+                "reduce pool_dim or use longer inputs"
+            )
         x = nn.max_pool(x[:, :h, :w, :], (ph, pw), strides=(ph, pw), padding="VALID")
         return x
 

@@ -28,10 +28,16 @@ import numpy as np
 import optax
 
 from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
-from audio_few_shot_learning_tpu.data.episodes import EpisodeBatch, sample_episode
+from audio_few_shot_learning_tpu.data.episodes import (
+    EpisodeBatch,
+    sample_episode,
+    sample_wav_episode,
+)
 from audio_few_shot_learning_tpu.data.store import PackedStore
 from audio_few_shot_learning_tpu.losses import angular_loss, cpl_loss, fsl_loss
+from audio_few_shot_learning_tpu.ops.mel import MelSpec
 from audio_few_shot_learning_tpu.ops.specaugment import spec_augment_views
+from audio_few_shot_learning_tpu.ops.waveaugment import WaveAugment
 from audio_few_shot_learning_tpu.parallel.mesh import (
     episode_sharding,
     make_mesh,
@@ -71,8 +77,20 @@ class Trainer:
         self.test_store = test_store
         self.mesh = mesh if mesh is not None else make_mesh(exp.tpu.mesh_shape)
 
-        self.specaug = exp.input_type == "spec" and exp.specaug_params.use
-        self.v_support = NUM_SPECAUG_VIEWS if self.specaug else 1
+        self.is_wav = exp.input_type == "wav"
+        self.specaug = (not self.is_wav) and exp.specaug_params.use
+        self.waveaug = self.is_wav and exp.waveaug_params.use
+        if self.specaug:
+            self.v_support = NUM_SPECAUG_VIEWS
+        elif self.waveaug:
+            self.v_support = 1 + exp.waveaug_params.aug_num
+        else:
+            self.v_support = 1
+        if self.is_wav:
+            # on-the-fly extractor == the reference's device-resident
+            # torchaudio MelSpectrogram + 10*log10 (src/train_test.py:123-129)
+            self.mel = MelSpec(flavor="online")
+            self.waveaugment = WaveAugment(exp.waveaug_params, dataset_name=exp.dataset_name)
 
         self.episode_batch = exp.tpu.episode_batch
         self.eval_episode_batch = exp.tpu.eval_episode_batch
@@ -83,11 +101,17 @@ class Trainer:
         )
         key = jax.random.PRNGKey(exp.tpu.seed if seed is None else seed)
         self.init_key, self.run_key = jax.random.split(key)
+        if self.is_wav:
+            from audio_few_shot_learning_tpu.config import HOP_LENGTH, N_MELS
+
+            feat_shape = (N_MELS, 1 + train_store.seg_len // HOP_LENGTH)
+        else:
+            feat_shape = train_store.feat_shape
         self.model, self.state = create_train_state(
             self.init_key,
             exp,
             mdl,
-            feat_shape=train_store.feat_shape,
+            feat_shape=feat_shape,
             optimizer=self.optimizer,
             v_support=self.v_support,
             v_query=self._v_query(exp.train_query_augmentations),
@@ -113,7 +137,11 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _v_query(self, augment_query: bool) -> int:
-        return NUM_SPECAUG_VIEWS if (self.specaug and augment_query) else 1
+        if self.specaug and augment_query:
+            return NUM_SPECAUG_VIEWS
+        if self.waveaug and augment_query:
+            return 1 + self.exp.waveaug_params.aug_num
+        return 1
 
     def _make_views(self, specs: jnp.ndarray, key: jax.Array, enabled: bool) -> jnp.ndarray:
         """[E, B, F, T] -> [E, B, V, F, T]; per-episode augmentation draws
@@ -128,17 +156,39 @@ class Trainer:
         )(specs, keys)  # [E, B, 4, F, T]
         return views
 
+    def _make_wav_views(
+        self, wavs: jnp.ndarray, key: jax.Array, enabled: bool, store
+    ) -> jnp.ndarray:
+        """[E, B, L] waveforms -> [E, B, V, F, T] normalized log-mel views:
+        augment (per-episode draws) -> online mel -> glob z-norm
+        (batch_creation.py:123-143)."""
+        e, b, l = wavs.shape
+        if enabled:
+            keys = jax.random.split(key, e)
+            views = jax.vmap(lambda w, k: self.waveaugment(w, k))(wavs, keys)  # [E,B,V,L]
+        else:
+            views = wavs[:, :, None]
+        v = views.shape[2]
+        mels = self.mel(views.reshape(e * b * v, l))  # [., F, T]
+        mels = (mels - store.mean) / store.std
+        f, t = mels.shape[-2:]
+        return mels.reshape(e, b, v, f, t)
+
     # ------------------------------------------------------------------
     # train step / epoch
     # ------------------------------------------------------------------
 
-    def _loss_and_metrics(self, params, batch_stats, ep: EpisodeBatch, key, n_way, vq):
+    def _loss_and_metrics(self, params, batch_stats, ep: EpisodeBatch, key, n_way, vq, store=None):
         exp = self.exp
         e = ep.support.shape[0]
         k_aug_s, k_aug_q, k_drop, k_perm, k_cpl = jax.random.split(key, 5)
 
-        sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
-        qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
+        if self.is_wav:
+            sup_views = self._make_wav_views(ep.support, k_aug_s, self.waveaug, store)
+            qry_views = self._make_wav_views(ep.query, k_aug_q, vq > 1, store)
+        else:
+            sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
+            qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
 
         if exp.use_attention and vq > 1:
             perms = jax.vmap(lambda k: jax.random.permutation(k, jnp.arange(1, vq)))(
@@ -205,8 +255,9 @@ class Trainer:
         vq = self._v_query(exp.train_query_augmentations)
         k_sample, k_loss = jax.random.split(key)
         ep_keys = jax.random.split(k_sample, self.episode_batch)
+        sampler = sample_wav_episode if self.is_wav else sample_episode
         ep = jax.vmap(
-            lambda k: sample_episode(
+            lambda k: sampler(
                 k, store, n_way, exp.n_shot_train, exp.n_query_train, False
             )
         )(ep_keys)
@@ -214,7 +265,7 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(self._loss_and_metrics, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, ep, k_loss, n_way, vq
+            state.params, state.batch_stats, ep, k_loss, n_way, vq, store
         )
         upd, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, upd)
@@ -281,13 +332,18 @@ class Trainer:
         vq = self._v_query(augment_query)
         k_sample, k_aug_s, k_aug_q = jax.random.split(key, 3)
         ep_keys = jax.random.split(k_sample, batch)
+        sampler = sample_wav_episode if self.is_wav else sample_episode
         ep = jax.vmap(
-            lambda k: sample_episode(k, store, n_way, k_shot, k_query, multisegment)
+            lambda k: sampler(k, store, n_way, k_shot, k_query, multisegment)
         )(ep_keys)
         ep = self._shard_episodes(ep)
 
-        sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
-        qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
+        if self.is_wav:
+            sup_views = self._make_wav_views(ep.support, k_aug_s, self.waveaug, store)
+            qry_views = self._make_wav_views(ep.query, k_aug_q, vq > 1, store)
+        else:
+            sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
+            qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
 
         outs = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

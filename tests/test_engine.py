@@ -47,7 +47,7 @@ def _exp(overrides):
         "num_epochs": 3,
         "specaug_params": {"use": False},
         "loss": {"l_param": 1.0, "cpl": {"use": False}, "angular": {"use": False}},
-        "tpu": {"episode_batch": 4, "eval_episode_batch": 8},
+        "tpu": {"episode_batch": 4, "eval_episode_batch": 8, "mesh_shape": 1},
         "train_query_augmentations": False,
         "validation_query_augmentations": False,
         "test_query_augmentations": False,
@@ -72,7 +72,7 @@ def test_plain_protonet_learns(stores):
     exp, mdl = _exp({})
     tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
     first = tr.train_epoch()
-    for _ in range(4):
+    for _ in range(2):
         last = tr.train_epoch()
     assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
     assert last["loss"] < first["loss"]
@@ -97,7 +97,7 @@ def test_contrastive_attention_cpl_variant(stores):
             "test_query_augmentations": True,
             "project_prototypes": True,
             "n_training_tasks": 8,
-            "tpu": {"episode_batch": 2, "eval_episode_batch": 4},
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4, "mesh_shape": 1},
         }
     )
     tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
@@ -124,7 +124,7 @@ def test_angular_no_attention_variant(stores):
             "project_prototypes": False,
             "normalize_prototypes": True,
             "n_training_tasks": 8,
-            "tpu": {"episode_batch": 2, "eval_episode_batch": 4},
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4, "mesh_shape": 1},
         }
     )
     # unprojected prototypes (dim 32) must match the projection output dim
@@ -157,7 +157,7 @@ def test_multisegment_eval(tmp_path_factory):
             "n_testing_tasks": 4,
             "num_epochs": 1,
             "n_training_tasks": 4,
-            "tpu": {"episode_batch": 2, "eval_episode_batch": 4},
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4, "mesh_shape": 1},
         }
     )
 
@@ -177,7 +177,9 @@ def test_multisegment_eval(tmp_path_factory):
 def test_episode_batch_one_matches_reference_step_granularity(stores):
     """episode_batch=1 -> one optimizer step per task (reference semantics)."""
     root, load = stores
-    exp, mdl = _exp({"n_training_tasks": 6, "tpu": {"episode_batch": 1, "eval_episode_batch": 4}})
+    exp, mdl = _exp(
+        {"n_training_tasks": 6, "tpu": {"episode_batch": 1, "eval_episode_batch": 4, "mesh_shape": 1}}
+    )
     tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
     assert tr.steps_per_epoch == 6
     tr.train_epoch()

@@ -1,0 +1,162 @@
+"""Waveform augmentation tests: per-transform semantics + chain output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_few_shot_learning_tpu.config import SAMPLE_RATE, WaveAugParams
+from audio_few_shot_learning_tpu.ops.waveaugment import (
+    WaveAugment,
+    add_colored_noise,
+    bandstop,
+    gain,
+    highpass,
+    lowpass,
+    pitch_shift,
+    shift,
+    splice_out,
+    time_inversion,
+    time_masking,
+    time_stretch,
+)
+
+SR = SAMPLE_RATE
+L = SR  # 1 s test signals
+
+
+def _tone(freq, b=2):
+    t = np.arange(L) / SR
+    return jnp.asarray(np.tile(np.sin(2 * np.pi * freq * t, dtype=np.float32), (b, 1)))
+
+
+def _band_energy(x, lo, hi):
+    spec = np.abs(np.fft.rfft(np.asarray(x), axis=-1)) ** 2
+    f = np.fft.rfftfreq(x.shape[-1], 1 / SR)
+    return spec[:, (f >= lo) & (f < hi)].sum(axis=-1)
+
+
+def test_lowpass_attenuates_high_band(rng):
+    x = _tone(6000)
+    y = lowpass(x, rng, 1000.0, 1500.0, p=1.0)
+    assert (_band_energy(y, 5500, 6500) < 0.01 * _band_energy(x, 5500, 6500)).all()
+
+
+def test_highpass_attenuates_low_band(rng):
+    x = _tone(200)
+    y = highpass(x, rng, 2000.0, 3000.0, p=1.0)
+    assert (_band_energy(y, 100, 300) < 0.01 * _band_energy(x, 100, 300)).all()
+
+
+def test_bandstop_notches_center(rng):
+    x = _tone(1000) + _tone(4000)
+    y = bandstop(x, rng, 1000.0, 1000.0, 0.5, 0.5, p=1.0)
+    # 1 kHz suppressed, 4 kHz roughly preserved
+    assert (_band_energy(y, 900, 1100) < 0.2 * _band_energy(x, 900, 1100)).all()
+    assert (_band_energy(y, 3900, 4100) > 0.5 * _band_energy(x, 3900, 4100)).all()
+
+
+def test_gain_scales(rng):
+    x = _tone(440)
+    y = gain(x, rng, 6.0, 6.0, p=1.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) * 10 ** (6 / 20), rtol=1e-4)
+
+
+def test_probability_zero_is_identity(rng):
+    x = _tone(440)
+    for fn in (
+        lambda: lowpass(x, rng, 500.0, 600.0, p=0.0),
+        lambda: gain(x, rng, 6.0, 6.0, p=0.0),
+        lambda: time_inversion(x, rng, p=0.0),
+        lambda: splice_out(x, rng, 4, 100, p=0.0),
+    ):
+        np.testing.assert_array_equal(np.asarray(fn()), np.asarray(x))
+
+
+def test_time_inversion(rng):
+    x = jnp.asarray(np.arange(2 * L, dtype=np.float32).reshape(2, L))
+    y = time_inversion(x, rng, p=1.0)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[:, ::-1])
+
+
+def test_shift_rollover(rng):
+    x = jnp.asarray(np.arange(2 * L, dtype=np.float32).reshape(2, L))
+    y = np.asarray(shift(x, rng, 0.25, 0.25, p=1.0))
+    np.testing.assert_array_equal(y[0], np.roll(np.asarray(x[0]), L // 4))
+
+
+def test_colored_noise_snr(rng):
+    x = _tone(440)
+    y = add_colored_noise(x, rng, 10.0, 10.0, 0.0, 0.0, p=1.0)
+    noise = np.asarray(y - x)
+    sig_rms = np.sqrt((np.asarray(x) ** 2).mean(axis=-1))
+    noise_rms = np.sqrt((noise**2).mean(axis=-1))
+    snr_db = 20 * np.log10(sig_rms / noise_rms)
+    np.testing.assert_allclose(snr_db, 10.0, atol=1.0)
+
+
+def test_pitch_shift_moves_frequency(rng):
+    x = _tone(440)
+    y = pitch_shift(x, rng, 12.0, 12.0, p=1.0)  # +1 octave
+    f = np.fft.rfftfreq(L, 1 / SR)
+    peak = f[np.abs(np.fft.rfft(np.asarray(y)[0] * np.hanning(L))).argmax()]
+    assert 850 < peak < 910, peak
+
+
+def test_time_stretch_preserves_length(rng):
+    x = _tone(440)
+    y = time_stretch(x, rng, 0.9, 0.9, p=1.0)  # sped up: content ends early
+    assert y.shape == x.shape
+    # tail beyond the resampled content is zero-padded (length fixed)
+    assert np.abs(np.asarray(y)[:, -100:]).max() < 1e-6
+    # slowed-down stretch also preserves length, no zero tail
+    y2 = time_stretch(x, rng, 1.1, 1.1, p=1.0)
+    assert y2.shape == x.shape
+    assert np.abs(np.asarray(y2)[:, -100:]).max() > 1e-3
+
+
+def test_splice_out_compacts(rng):
+    x = jnp.asarray(np.arange(1, L + 1, dtype=np.float32)[None, :])
+    y = np.asarray(splice_out(x, rng, 2, 500, p=1.0))[0]
+    nz = y[y != 0]
+    # kept samples preserve order and are a subsequence of the input
+    assert (np.diff(nz) > 0).all()
+    assert L - 1000 <= len(nz) < L
+    # tail zero-padded
+    assert (y[len(nz):] == 0).all()
+
+
+def test_time_masking_zeroes_windows(rng):
+    x = jnp.ones((2, L))
+    y = np.asarray(time_masking(x, rng, num_masks=3, mask_fraction=0.01, p=1.0))
+    zeros = (y == 0).sum(axis=-1)
+    assert (zeros >= int(L * 0.01)).all()
+    assert (zeros <= 3 * int(L * 0.01)).all()
+
+
+def test_full_chain_views():
+    params = WaveAugParams.from_dict(
+        {
+            "use": True,
+            "aug_num": 3,
+            "min_gain_in_db": -6, "max_gain_in_db": 6, "gain_p": 0.5,
+            "min_snr_in_db": 10, "max_snr_in_db": 25,
+            "noise_min_f_decay": -2, "noise_max_f_decay": 2, "noise_p": 0.5,
+            "bandstop_min_bandwidth_fraction": 0.5, "bandstop_max_bandwidth_fraction": 1,
+            "bandstop_p": 0.5, "highpass_p": 0.3, "lowpass_p": 0.5,
+            "pitchshift_min_transpose_semitones": -4, "pitchshift_max_transpose_semitones": 4,
+            "pitchshift_p": 0.5, "shift_min_shift": -0.5, "shift_max_shift": 0.5, "shift_p": 0.5,
+            "spliceout_num_time_intervals": 8, "spliceout_max_width": 400, "spliceout_p": 0.5,
+            "timeinversion_p": 0, "min_stretch_ratio": 0.9, "max_stretch_ratio": 1.1,
+            "timestretch_p": 0, "timemasking_masks": 5, "timemasking_mask_fraction": 0.01,
+            "timemasking_p": 0.5,
+        }
+    )
+    aug = WaveAugment(params, dataset_name="ESC-50-master")
+    x = _tone(440, b=3)
+    out = jax.jit(lambda a, k: aug(a, k))(x, jax.random.PRNGKey(0))
+    assert out.shape == (3, 4, L)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x))  # original first
+    assert np.isfinite(np.asarray(out)).all()
+    # augmented copies differ from the original
+    assert not np.allclose(np.asarray(out[:, 1]), np.asarray(x))
