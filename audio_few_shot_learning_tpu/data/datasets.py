@@ -74,7 +74,41 @@ class MetaAudioDataset:
             x = (x - self.mean) / self.std
         return x, self.labels[item]
 
-    def to_packed_store(self, dtype=np.float32, device=None):
+    def _to_packed_store_native(self, device=None):
+        """Fast path: the C++ packer (native/npy_pack.cc) parses/streams/
+        normalizes every .npy on a thread pool straight into the packed
+        buffer. Returns None when unavailable or shapes are irregular."""
+        from audio_few_shot_learning_tpu.data import native_pack
+
+        if self.input_type != "spec" or not native_pack.native_available():
+            return None
+        probes = [native_pack.probe(p) for p in self.filepaths]
+        if any(p is None for p in probes):
+            return None
+        first = np.load(self.filepaths[0], allow_pickle=True)
+        if first.ndim == 2:
+            f_dim, t_dim = first.shape
+        else:
+            f_dim, t_dim = first.shape[1:]
+        seg_counts = np.asarray([p[1] for p in probes], dtype=np.int32)
+        if any(p[0] != c * f_dim * t_dim for p, c in zip(probes, seg_counts)):
+            return None  # inhomogeneous feature shapes
+        s_max = int(seg_counts.max())
+        out = np.zeros((len(self.filepaths), s_max, f_dim, t_dim), dtype=np.float32)
+        ok = native_pack.pack_files(
+            [str(p) for p in self.filepaths], out, self.mean, self.std
+        )
+        if not ok:
+            return None
+        return PackedStore.from_arrays(
+            out, seg_counts, self.labels, len(self.class_names), device=device
+        )
+
+    def to_packed_store(self, dtype=np.float32, device=None, use_native: bool = True):
+        if use_native and self.input_type == "spec" and dtype == np.float32:
+            store = self._to_packed_store_native(device=device)
+            if store is not None:
+                return store
         items = [np.load(p, allow_pickle=True) for p in self.filepaths]
         if self.input_type == "wav":
             from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore

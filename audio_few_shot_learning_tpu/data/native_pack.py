@@ -1,0 +1,115 @@
+"""ctypes bindings for the native C++ dataset packer (native/npy_pack.cc).
+
+Builds the shared library on first use with g++ (no pybind11 in the image;
+plain C ABI + ctypes). Every entry point degrades to the pure-Python path on
+any failure, so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "npy_pack.cc"
+_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_LIB_PATH = _BUILD_DIR / "libafslnpy.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not _LIB_PATH.exists() and not (_SRC.exists() and _build()):
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.afsl_npy_probe.restype = ctypes.c_int64
+            lib.afsl_npy_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.afsl_pack_f32.restype = ctypes.c_int64
+            lib.afsl_pack_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_int,
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def probe(path: str) -> Optional[Tuple[int, int]]:
+    """(total_elems, leading_dim) of a .npy file, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    shape0 = ctypes.c_int64(0)
+    elems = lib.afsl_npy_probe(str(path).encode(), ctypes.byref(shape0))
+    if elems < 0:
+        return None
+    return int(elems), int(shape0.value)
+
+
+def pack_files(
+    paths: Sequence[str],
+    out: np.ndarray,
+    mean: float,
+    std: float,
+    threads: int = 8,
+) -> bool:
+    """Fill ``out`` (float32, shape [n, ...]) with normalized file payloads.
+
+    File i writes its elements into out[i].ravel()[:elems]; remaining slots
+    keep their (zero) padding. Returns False on any failure (caller falls
+    back to the Python path).
+    """
+    lib = get_lib()
+    if lib is None or out.dtype != np.float32 or not out.flags.c_contiguous:
+        return False
+    n = len(paths)
+    stride = int(np.prod(out.shape[1:]))
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    failures = lib.afsl_pack_f32(
+        arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stride,
+        ctypes.c_float(mean),
+        ctypes.c_float(1.0 / std if std else 1.0),
+        threads,
+    )
+    return failures == 0

@@ -47,6 +47,37 @@ class PackedStore:
         return self.segments.shape[2:]
 
     @staticmethod
+    def from_arrays(
+        segments: np.ndarray,
+        seg_counts: np.ndarray,
+        labels: np.ndarray,
+        n_classes: int,
+        device: Optional[jax.Device] = None,
+    ) -> "PackedStore":
+        """Build a store from pre-packed host arrays (used by the native
+        C++ packer path, data/native_pack.py)."""
+        labels_np = np.asarray(labels, dtype=np.int32)
+        counts = np.bincount(labels_np, minlength=n_classes).astype(np.int32)
+        m_max = int(counts.max()) if len(counts) else 1
+        table = np.zeros((n_classes, m_max), dtype=np.int32)
+        fill = np.zeros(n_classes, dtype=np.int32)
+        for idx, lab in enumerate(labels_np):
+            table[lab, fill[lab]] = idx
+            fill[lab] += 1
+        put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
+        s_max = segments.shape[1]
+        return PackedStore(
+            segments=put(segments),
+            seg_counts=put(np.asarray(seg_counts, np.int32)),
+            labels=put(labels_np),
+            class_table=put(table),
+            class_counts=put(counts),
+            n_classes=n_classes,
+            s_max=s_max,
+            multi_segm=s_max > 1,
+        )
+
+    @staticmethod
     def pack(
         items: Sequence[np.ndarray],
         labels: Sequence[int],
