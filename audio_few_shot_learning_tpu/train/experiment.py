@@ -17,11 +17,19 @@ from typing import Dict, List, Optional
 
 import jax
 
+import math
+
 from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
 from audio_few_shot_learning_tpu.data.datasets import load_packed_split
 from audio_few_shot_learning_tpu.train import checkpoint as ckpt
 from audio_few_shot_learning_tpu.train.early_stopping import EarlyStopping
 from audio_few_shot_learning_tpu.train.engine import Trainer
+
+
+class TrainingDiverged(RuntimeError):
+    """Raised when the loss goes non-finite. The reference has no failure
+    detection at all (SURVEY.md §5) — NaNs would silently poison the run; here
+    the run aborts with a crash checkpoint for postmortem."""
 
 
 def run_single_training(
@@ -61,6 +69,13 @@ def run_single_training(
         for epoch in range(start_epoch, exp.num_epochs + 1):
             log_fn(f"Epoch: {epoch:03}/{exp.num_epochs + 1:03}")
             train_metrics = trainer.train_epoch()
+            if not math.isfinite(train_metrics["fsl_loss"]):
+                crash = os.path.join(results_dir, f"crash_run{run_idx}.ckpt")
+                ckpt.save_resume(crash, trainer.state, epoch, trainer.run_key)
+                raise TrainingDiverged(
+                    f"non-finite loss at epoch {epoch} "
+                    f"(metrics={train_metrics}); state saved to {crash}"
+                )
             log_fn(
                 {
                     "loss": train_metrics["loss"],

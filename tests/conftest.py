@@ -19,12 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: XLA compiles dominate test time on the 1-core
-# CI box; cache them across runs
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# entries record host machine features and this box loads them with a
+# feature-set mismatch warning ("+prefer-no-gather is not supported...") and
+# intermittent SIGILL crashes.
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert jax.device_count() == 8
 

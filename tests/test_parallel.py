@@ -1,0 +1,60 @@
+"""Multi-chip episode-DP tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_few_shot_learning_tpu.parallel.mesh import (
+    EPISODE_AXIS,
+    episode_sharding,
+    make_mesh,
+    shard_episode_keys,
+)
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.size == 8
+    assert mesh.axis_names == (EPISODE_AXIS,)
+    mesh1 = make_mesh(1)
+    assert mesh1.size == 1
+
+
+def test_episode_keys_sharded():
+    mesh = make_mesh()
+    keys = shard_episode_keys(jax.random.PRNGKey(0), 8, mesh)
+    assert keys.shape[0] == 8
+    assert len(keys.sharding.device_set) == 8
+
+
+def test_sharded_gradient_mean_matches_single_device():
+    """A toy episode-sharded grad step produces the same result as the
+    unsharded computation (GSPMD psum correctness)."""
+    mesh = make_mesh()
+    w = jnp.ones((4, 4))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 5, 4))  # 8 "episodes"
+
+    def loss(w, x):
+        y = jnp.einsum("eqd,dk->eqk", x, w)
+        return jnp.mean(y**2)
+
+    g_ref = jax.grad(loss)(w, x)
+    xs = jax.device_put(x, episode_sharding(mesh))
+    g_sharded = jax.jit(jax.grad(loss))(w, xs)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_dryrun_multichip_full_train_step():
+    """The driver's dryrun: full sharded train step on an 8-device mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn).lower(*args).compile()
+    assert out is not None
