@@ -12,3 +12,10 @@ from audio_few_shot_learning_tpu.data.datasets import (  # noqa: F401
     load_packed_split,
     make_synthetic_dataset,
 )
+from audio_few_shot_learning_tpu.data.few_shot_dataset import (  # noqa: F401
+    FewShotDataset,
+    WrapFewShotDataset,
+    pack_dataset,
+)
+from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore  # noqa: F401
+from audio_few_shot_learning_tpu.data.datasets import make_synthetic_wav_dataset  # noqa: F401
