@@ -85,6 +85,14 @@ class FewShotEpisodeModel(nn.Module):
         if self.exp.use_attention:
             self.attention = SelfAttention(self.mdl.attention)
         self.projection = ProjectionHead(self.mdl.projection)
+        if self.exp.relation_head:
+            # RelationNet scoring (Sung et al. 2018): the reference reserves
+            # the config flag + Relation block (README.md:417-424) but never
+            # implemented it; completed here as pairwise [query;prototype]
+            # relation logits replacing -cdist
+            from audio_few_shot_learning_tpu.models.projection import RelationHead
+
+            self.relation = RelationHead(self.mdl.relation)
 
     def __call__(
         self,
@@ -144,7 +152,23 @@ class FewShotEpisodeModel(nn.Module):
         prototypes = jax.vmap(lambda sf, lb: compute_prototypes(sf, lb, n_way))(
             support_features, labels
         )
-        scores = jax.vmap(prototype_scores)(query_features, prototypes)
+        if self.exp.relation_head:
+            qn = query_features.shape[1]
+            pairs = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        query_features[:, :, None, :],
+                        (e, qn, n_way, query_features.shape[-1]),
+                    ),
+                    jnp.broadcast_to(
+                        prototypes[:, None, :, :], (e, qn, n_way, prototypes.shape[-1])
+                    ),
+                ],
+                axis=-1,
+            )
+            scores = self.relation(pairs)[..., 0]  # [E, Q, N] relation logits
+        else:
+            scores = jax.vmap(prototype_scores)(query_features, prototypes)
 
         cpl_features = None
         cpl_protos_proj = None

@@ -184,3 +184,29 @@ def test_episode_batch_one_matches_reference_step_granularity(stores):
     assert tr.steps_per_epoch == 6
     tr.train_epoch()
     assert int(tr.state.step) == 6
+
+
+def test_relation_head_variant(stores):
+    """relation_head=True: RelationNet pair scoring replaces -cdist (the
+    reference declares the flag but never implemented it, README.md:417-424)."""
+    root, load = stores
+    exp, mdl = _exp(
+        {
+            "relation_head": True,
+            "num_epochs": 1,
+            "n_training_tasks": 4,
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 4, "mesh_shape": 1},
+        }
+    )
+    mdl = ModelConfig.from_dict(
+        {
+            "CNN": {"pool_dim": [2, 2], "hidden_channels": 32, "out_dim": 32},
+            "Relation": {"input_dim": 64, "hidden_dim1": 32, "hidden_dim2": 16,
+                          "hidden_dim3": 16, "out_dim": 1},
+        }
+    )
+    tr = Trainer(exp, mdl, load("train", exp), load("valid", exp), load("test", exp))
+    m = tr.train_epoch()
+    assert np.isfinite(m["loss"])
+    mean, _ = tr.validate()
+    assert 0.0 <= mean <= 1.0
