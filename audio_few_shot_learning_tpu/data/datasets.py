@@ -105,6 +105,9 @@ class MetaAudioDataset:
         )
 
     def to_packed_store(self, dtype=np.float32, device=None, use_native: bool = True):
+        from audio_few_shot_learning_tpu.data.store import resolve_store_dtype
+
+        dtype = resolve_store_dtype(dtype)
         if use_native and self.input_type == "spec" and dtype == np.float32:
             store = self._to_packed_store_native(device=device)
             if store is not None:
@@ -136,8 +139,10 @@ class MetaAudioDataset:
 
 
 def load_packed_split(
-    exp: ExperimentConfig, root: Union[str, Path], split: str, dtype=np.float32, device=None
+    exp: ExperimentConfig, root: Union[str, Path], split: str, dtype=None, device=None
 ) -> PackedStore:
+    if dtype is None:
+        dtype = exp.tpu.store_dtype  # 'float32' | 'bfloat16' (TPUConfig)
     return MetaAudioDataset(exp, root, split).to_packed_store(dtype=dtype, device=device)
 
 

@@ -19,12 +19,23 @@ S_max; fixed-length sets have S_max == 1 and the padding cost is zero.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from flax import struct
+
+
+def resolve_store_dtype(dtype: Union[str, np.dtype]) -> np.dtype:
+    """'bfloat16' halves the HBM footprint of the packed split — required for
+    NSynth-scale stores (306k items ~= 20 GB in f32 vs 10 GB bf16 on a 16 GB
+    chip). Compute upcasts per-op; accuracy impact is below augmentation
+    noise."""
+    if isinstance(dtype, str) and dtype == "bfloat16":
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(dtype)
 
 
 @struct.dataclass
@@ -84,7 +95,7 @@ class PackedStore:
         n_classes: Optional[int] = None,
         mean: float = 0.0,
         std: float = 1.0,
-        dtype=np.float32,
+        dtype: Union[str, np.dtype] = np.float32,
         device: Optional[jax.Device] = None,
     ) -> "PackedStore":
         """Pack per-item arrays ([F,T] or [S,F,T]) into one padded store.
@@ -92,6 +103,7 @@ class PackedStore:
         Normalization (x - mean)/std with the dataset's global stats happens
         here once, mirroring datasets/datasets.py:96-132's z-score branch.
         """
+        dtype = resolve_store_dtype(dtype)
         labels_np = np.asarray(labels, dtype=np.int32)
         if n_classes is None:
             n_classes = int(labels_np.max()) + 1 if len(labels_np) else 0

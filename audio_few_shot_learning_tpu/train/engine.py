@@ -310,6 +310,14 @@ class Trainer:
         )
         return out
 
+    def profile_epoch(self, log_dir: str) -> Dict[str, float]:
+        """Run one training epoch under a jax.profiler trace (SURVEY.md §5:
+        the reference has no profiling). View with TensorBoard/xprof."""
+        from audio_few_shot_learning_tpu.utils.profiling import profile_trace
+
+        with profile_trace(log_dir):
+            return self.train_epoch()
+
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
