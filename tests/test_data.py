@@ -184,3 +184,48 @@ def test_insufficient_class_items_excluded():
         small_class = np.stack([i.ravel() for i in items[20:]])
         for row in sup:
             assert not any(np.allclose(row, s) for s in small_class)
+
+
+def test_class_sampling_uniform(synth_root):
+    """Episode class draws are uniform over eligible classes (chi-square;
+    replaces the reference's implicit random.sample semantics)."""
+    import scipy.stats
+
+    store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
+    n_classes = store.n_classes  # 8
+    counts = np.zeros(n_classes)
+    trials = 300
+    eps = sample_episode_batch(
+        jax.random.PRNGKey(11), store, n_way=2, k_support=1, k_query=1, batch=trials
+    )
+    # recover sampled classes from support content -> store labels
+    all_rows = np.asarray(store.segments[:, 0]).reshape(store.num_items, -1)
+    labels = np.asarray(store.labels)
+    sup = np.asarray(eps.support).reshape(trials * 2, -1)
+    for row in sup:
+        m = np.where(np.all(np.isclose(all_rows, row, atol=1e-5), axis=1))[0]
+        counts[labels[m[0]]] += 1
+    _, p = scipy.stats.chisquare(counts)
+    assert p > 1e-4, f"class sampling non-uniform: {counts} (p={p})"
+
+
+def test_segment_pick_uniform(synth_multiseg_root):
+    """Random segment selection is uniform over an item's real segments."""
+    store = MetaAudioDataset(_exp(True), synth_multiseg_root, "train").to_packed_store()
+    # find an item with 3 segments
+    item = int(np.argmax(np.asarray(store.seg_counts) == 3))
+    segs = np.asarray(store.segments[item])  # [S_max, F, T]
+    from audio_few_shot_learning_tpu.data.episodes import sample_episode as _se
+
+    counts = np.zeros(3)
+    trials = 150
+    eps = sample_episode_batch(
+        jax.random.PRNGKey(13), store, n_way=5, k_support=5, k_query=2, batch=trials
+    )
+    sup = np.asarray(eps.support).reshape(-1, *segs.shape[1:])
+    for row in sup:
+        for s in range(3):
+            if np.allclose(row, segs[s], atol=1e-5):
+                counts[s] += 1
+    assert counts.sum() > 10  # the item appears multiple times
+    assert counts.min() > 0, f"some segment never picked: {counts}"
