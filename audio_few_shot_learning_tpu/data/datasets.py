@@ -93,14 +93,17 @@ class MetaAudioDataset:
         seg_counts = np.asarray([p[1] for p in probes], dtype=np.int32)
         if any(p[0] != c * f_dim * t_dim for p, c in zip(probes, seg_counts)):
             return None  # inhomogeneous feature shapes
-        s_max = int(seg_counts.max())
-        out = np.zeros((len(self.filepaths), s_max, f_dim, t_dim), dtype=np.float32)
-        ok = native_pack.pack_files(
-            [str(p) for p in self.filepaths], out, self.mean, self.std
+        # flat/ragged pack: file i lands at its cumulative segment offset
+        seg_elems = f_dim * t_dim
+        offsets = np.zeros(len(seg_counts) + 1, dtype=np.int64)
+        offsets[1:] = np.cumsum(seg_counts.astype(np.int64) * seg_elems)
+        out = np.zeros((int(seg_counts.sum()), f_dim, t_dim), dtype=np.float32)
+        ok = native_pack.pack_files_flat(
+            [str(p) for p in self.filepaths], out, offsets, self.mean, self.std
         )
         if not ok:
             return None
-        return PackedStore.from_arrays(
+        return PackedStore.from_flat_arrays(
             out, seg_counts, self.labels, len(self.class_names), device=device
         )
 

@@ -96,11 +96,11 @@ def sample_episode(
         return jnp.minimum(seg, store.seg_counts[item] - 1)
 
     sup_seg = jax.vmap(pick_segment)(jax.random.split(k_seg_s, s), sup_items)
-    support = store.segments[sup_items, sup_seg]  # [S, F, T]
+    support = jax.vmap(store.get_segment)(sup_items, sup_seg)  # [S, F, T]
 
     if not is_test or not store.multi_segm:
         qry_seg = jax.vmap(pick_segment)(jax.random.split(k_seg_q, qn), qry_items)
-        query = store.segments[qry_items, qry_seg]  # [Qn, F, T]
+        query = jax.vmap(store.get_segment)(qry_items, qry_seg)  # [Qn, F, T]
         return EpisodeBatch(
             support=support,
             support_labels=support_labels,
@@ -112,15 +112,18 @@ def sample_episode(
 
     # --- test multi-segment: all segments, padded to S_max, masked ---
     smax = store.s_max
-    query = store.segments[qry_items]  # [Qn, S_max, F, T]
+    rows = jax.vmap(lambda it: store.item_segment_rows(it, smax))(qry_items)  # [Qn, S_max]
+    query = store.segments[rows.reshape(-1)]  # [Qn*S_max, F, T]
     seg_valid = (
         jnp.arange(smax)[None, :] < store.seg_counts[qry_items][:, None]
     )  # [Qn, S_max]
-    f, t = store.feat_shape
+    # padded rows are clipped duplicates of the last real segment; zero them
+    # to keep the old padded-layout invariant (tests rely on zero padding)
+    query = query * seg_valid.reshape(-1)[:, None, None].astype(query.dtype)
     return EpisodeBatch(
         support=support,
         support_labels=support_labels,
-        query=query.reshape(qn * smax, f, t),
+        query=query,
         query_labels=jnp.repeat(query_labels_base, smax),
         audio_ids=jnp.repeat(jnp.arange(qn), smax),
         query_mask=seg_valid.reshape(-1).astype(jnp.float32),

@@ -45,7 +45,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not _LIB_PATH.exists() and not (_SRC.exists() and _build()):
+        stale = (
+            _LIB_PATH.exists()
+            and _SRC.exists()
+            and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if (not _LIB_PATH.exists() or stale) and not (_SRC.exists() and _build()):
             _lib_failed = True
             return None
         try:
@@ -58,6 +63,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_int,
+            ]
+            lib.afsl_pack_f32_var.restype = ctypes.c_int64
+            lib.afsl_pack_f32_var.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_float,
                 ctypes.c_float,
                 ctypes.c_int,
@@ -108,6 +123,36 @@ def pack_files(
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         stride,
+        ctypes.c_float(mean),
+        ctypes.c_float(1.0 / std if std else 1.0),
+        threads,
+    )
+    return failures == 0
+
+
+def pack_files_flat(
+    paths: Sequence[str],
+    out: np.ndarray,
+    offsets_elems: np.ndarray,
+    mean: float,
+    std: float,
+    threads: int = 8,
+) -> bool:
+    """Flat/ragged pack: file i writes its payload at out.ravel()[offsets[i]:
+    offsets[i+1]] (offsets has len(paths)+1 entries, in ELEMENTS)."""
+    lib = get_lib()
+    if lib is None or out.dtype != np.float32 or not out.flags.c_contiguous:
+        return False
+    n = len(paths)
+    offs = np.ascontiguousarray(offsets_elems, dtype=np.int64)
+    if offs.shape[0] != n + 1:
+        return False
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    failures = lib.afsl_pack_f32_var(
+        arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_float(mean),
         ctypes.c_float(1.0 / std if std else 1.0),
         threads,

@@ -182,4 +182,28 @@ int64_t afsl_pack_f32(const char** paths, int64_t n, float* out,
   return failures.load();
 }
 
+// Flat/ragged variant: file i writes at out + offsets_elems[i] with capacity
+// offsets_elems[i+1] - offsets_elems[i] (offsets has n+1 entries). Used for
+// the flat segment store where items carry different segment counts.
+int64_t afsl_pack_f32_var(const char** paths, int64_t n, float* out,
+                          const int64_t* offsets_elems, float mean,
+                          float inv_std, int threads) {
+  if (threads < 1) threads = 1;
+  std::atomic<int64_t> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int64_t cap = offsets_elems[i + 1] - offsets_elems[i];
+      if (load_one(paths[i], out + offsets_elems[i], cap, mean, inv_std) < 0)
+        failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 }  // extern "C"

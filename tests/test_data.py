@@ -53,7 +53,7 @@ def test_directory_scan_and_splits(synth_root):
 def test_packing_normalization(synth_root):
     ds = MetaAudioDataset(_exp(), synth_root, "train")
     store = ds.to_packed_store()
-    assert store.segments.shape == (120, 1, 32, 40)
+    assert store.segments.shape == (120, 32, 40)  # flat layout, S=1 per item
     assert store.n_classes == 8
     # z-normalized with global stats: overall mean ~0, std ~1
     vals = np.asarray(store.segments).ravel()
@@ -92,7 +92,7 @@ def test_episode_no_support_query_overlap(synth_root):
     """Support and query items never overlap within an episode, and items
     within each group are distinct (without-replacement split)."""
     store = MetaAudioDataset(_exp(), synth_root, "train").to_packed_store()
-    segs = np.asarray(store.segments[:, 0])  # identify items by content
+    segs = np.asarray(store.segments)[np.asarray(store.seg_offsets)]  # first segments
     for seed in range(5):
         ep = sample_episode_batch(
             jax.random.PRNGKey(seed), store, n_way=5, k_support=5, k_query=5, batch=1
@@ -121,7 +121,7 @@ def test_episode_labels_match_class_content(synth_root):
     ep = sample_episode_batch(jax.random.PRNGKey(2), store, 5, 5, 5, batch=1)
     sup = np.asarray(ep.support[0]).reshape(25, -1)  # [25, F*T]
     # map each support row back to its store item by content
-    all_rows = np.asarray(store.segments[:, 0]).reshape(store.num_items, -1)
+    all_rows = np.asarray(store.segments)[np.asarray(store.seg_offsets)].reshape(store.num_items, -1)
     store_labels = np.asarray(store.labels)
     orig_labels = []
     for row in sup:
@@ -199,7 +199,7 @@ def test_class_sampling_uniform(synth_root):
         jax.random.PRNGKey(11), store, n_way=2, k_support=1, k_query=1, batch=trials
     )
     # recover sampled classes from support content -> store labels
-    all_rows = np.asarray(store.segments[:, 0]).reshape(store.num_items, -1)
+    all_rows = np.asarray(store.segments)[np.asarray(store.seg_offsets)].reshape(store.num_items, -1)
     labels = np.asarray(store.labels)
     sup = np.asarray(eps.support).reshape(trials * 2, -1)
     for row in sup:
@@ -214,7 +214,8 @@ def test_segment_pick_uniform(synth_multiseg_root):
     store = MetaAudioDataset(_exp(True), synth_multiseg_root, "train").to_packed_store()
     # find an item with 3 segments
     item = int(np.argmax(np.asarray(store.seg_counts) == 3))
-    segs = np.asarray(store.segments[item])  # [S_max, F, T]
+    off = int(np.asarray(store.seg_offsets)[item])
+    segs = np.asarray(store.segments[off : off + 3])  # [3, F, T]
     from audio_few_shot_learning_tpu.data.episodes import sample_episode as _se
 
     counts = np.zeros(3)
