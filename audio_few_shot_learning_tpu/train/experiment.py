@@ -24,6 +24,7 @@ from audio_few_shot_learning_tpu.data.datasets import load_packed_split
 from audio_few_shot_learning_tpu.train import checkpoint as ckpt
 from audio_few_shot_learning_tpu.train.early_stopping import EarlyStopping
 from audio_few_shot_learning_tpu.train.engine import Trainer
+from audio_few_shot_learning_tpu.utils import EpisodeThroughput, MetricsLogger
 
 
 class TrainingDiverged(RuntimeError):
@@ -65,10 +66,16 @@ def run_single_training(
     )
 
     history: List[Dict] = []
-    with open(metrics_path, "a") as mf:
+    metrics_log = MetricsLogger(metrics_path, stdout=False)
+    throughput = EpisodeThroughput()
+    try:
         for epoch in range(start_epoch, exp.num_epochs + 1):
-            log_fn(f"Epoch: {epoch:03}/{exp.num_epochs + 1:03}")
+            log_fn(f"Epoch: {epoch:03}/{exp.num_epochs:03}")
+            t_epoch = time.perf_counter()
             train_metrics = trainer.train_epoch()
+            eps_per_sec = throughput.update(
+                exp.n_training_tasks, time.perf_counter() - t_epoch
+            )
             if not math.isfinite(train_metrics["fsl_loss"]):
                 crash = os.path.join(results_dir, f"crash_run{run_idx}.ckpt")
                 ckpt.save_resume(crash, trainer.state, epoch, trainer.run_key)
@@ -89,21 +96,28 @@ def run_single_training(
                 **train_metrics,
                 "val_accuracy": val_acc,
                 "val_accuracy_std": val_std,
+                "episodes_per_sec": eps_per_sec,
             }
             history.append(row)
-            mf.write(json.dumps(row) + "\n")
-            mf.flush()
+            metrics_log.log(step=epoch, metrics=row)
 
             stopper(val_accuracy=val_acc, epoch=epoch)
             ckpt.save_resume(resume_path, trainer.state, epoch, trainer.run_key)
             if stopper.early_stop:
                 log_fn("Early Stopping.")
                 break
+    finally:
+        metrics_log.close()
 
     # reload best checkpoint (loops/loops.py:163-167)
     params, stats = ckpt.load_model(model_path, trainer.state.params, trainer.state.batch_stats)
     trainer.state = trainer.state.replace(params=params, batch_stats=stats)
-    return {"history": history, "best_val_accuracy": stopper.val_accuracy_max}
+    return {
+        "history": history,
+        "best_val_accuracy": stopper.val_accuracy_max,
+        # smoothed train-step throughput (excludes validation/checkpoint time)
+        "train_episodes_per_sec": throughput.value,
+    }
 
 
 def run_experiment(
@@ -138,6 +152,7 @@ def run_experiment(
         msg = trainer.test()
         msg["train_seconds"] = time.perf_counter() - t0
         msg["best_val_accuracy"] = train_log["best_val_accuracy"]
+        msg["train_episodes_per_sec"] = train_log["train_episodes_per_sec"]
         log_fn(msg)
         all_results.append(msg)
         with open(os.path.join(results_dir, f"result_run{i}.json"), "w") as f:

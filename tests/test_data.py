@@ -230,3 +230,19 @@ def test_segment_pick_uniform(synth_multiseg_root):
                 counts[s] += 1
     assert counts.sum() > 10  # the item appears multiple times
     assert counts.min() > 0, f"some segment never picked: {counts}"
+
+
+def test_pack_dataset_adapter():
+    """pack_dataset: any indexable (x, label) sequence -> PackedStore."""
+    from audio_few_shot_learning_tpu.data import pack_dataset
+
+    rng_np = np.random.default_rng(3)
+    data = [(rng_np.standard_normal((8, 9)).astype(np.float32), i % 4) for i in range(20)]
+    store = pack_dataset(data)
+    assert store.n_classes == 4
+    assert int(np.asarray(store.class_counts).sum()) == 20
+    # items land under their class, normalized with the given (0,1) stats
+    eps = sample_episode_batch(
+        jax.random.PRNGKey(0), store, n_way=4, k_support=2, k_query=1, batch=1
+    )
+    assert eps.support.shape[:2] == (1, 8)
