@@ -132,12 +132,13 @@ class TPUConfig:
     """
 
     episode_batch: int = 1
+    episode_microbatch: Optional[int] = None  # grad-accum chunk size (must divide episode_batch)
     eval_episode_batch: int = 16
     mesh_shape: Optional[int] = None
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True
+    remat: bool = True  # rematerialize conv blocks in backward (HBM headroom)
     store_dtype: str = "float32"
-    prefetch: int = 2
     seed: int = 0
     num_runs: int = 5  # reference hardcodes 5 repeated runs (src/train_test.py:103)
 

@@ -135,16 +135,26 @@ class ConvEncoder(nn.Module):
     Convolutions run in ``compute_dtype`` (bfloat16 on TPU: MXU-native, halves
     the HBM footprint of the pre-pool activations that cap the episode batch
     size); BatchNorm statistics stay float32.
+
+    ``remat``: rematerialize each block in the backward pass instead of
+    holding its pre-pool activations. block0's conv/BN/ReLU intermediates are
+    [B, F, T, C] each (~4 GB at episode_batch=8 x 50 items x 4 views) and cap
+    the episode batch at ~4 without remat; with it the peak is the post-pool
+    map (~1/pool^2 the size), trading a cheap conv recompute for HBM.
     """
 
     hidden_channels: int
     pool: Tuple[int, int]
     compute_dtype: str = "bfloat16"
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        block_cls = (
+            nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
+        )
         for i in range(4):
-            x = ConvBlock(
+            x = block_cls(
                 self.hidden_channels, self.pool, self.compute_dtype, name=f"block{i}"
             )(x, train)
         return x
@@ -175,11 +185,14 @@ class StandardCNN(nn.Module):
 
     cfg: CNNConfig
     compute_dtype: str = "bfloat16"
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x[..., None]  # NHWC, C=1 (cfg.in_channels==1 for all datasets)
-        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype)(x, train)
+        x = ConvEncoder(
+            self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype, self.remat
+        )(x, train)
         x = x.reshape(x.shape[0], -1)
         return _LogitsHead(self.cfg.out_dim)(x, train)
 
@@ -195,11 +208,14 @@ class StandardHybrid(nn.Module):
 
     cfg: HybridConfig
     compute_dtype: str = "bfloat16"
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x[..., None]
-        x = ConvEncoder(self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype)(x, train)
+        x = ConvEncoder(
+            self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype, self.remat
+        )(x, train)
         x = x.astype(jnp.float32)
         b, fp, tp, c = x.shape
         seq = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, tp, fp * c)
@@ -233,10 +249,11 @@ def make_backbone(
     cnn_cfg: CNNConfig,
     hybrid_cfg: HybridConfig,
     compute_dtype: str = "bfloat16",
+    remat: bool = True,
 ) -> nn.Module:
     """Factory mirroring get_backbone_model (main_modules.py:258-285)."""
     if encoder_name == "CNN":
-        return StandardCNN(cnn_cfg, compute_dtype)
+        return StandardCNN(cnn_cfg, compute_dtype, remat)
     if encoder_name == "Hybrid":
-        return StandardHybrid(hybrid_cfg, compute_dtype)
+        return StandardHybrid(hybrid_cfg, compute_dtype, remat)
     raise ValueError(f"unknown encoder {encoder_name!r}")

@@ -46,7 +46,11 @@ from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
 from audio_few_shot_learning_tpu.models.attention import SelfAttention
 from audio_few_shot_learning_tpu.models.encoders import make_backbone
 from audio_few_shot_learning_tpu.models.projection import ProjectionHead
-from audio_few_shot_learning_tpu.ops.protohead import compute_prototypes, prototype_scores
+from audio_few_shot_learning_tpu.ops.pallas_utils import pallas_enabled
+from audio_few_shot_learning_tpu.ops.protohead import (
+    batched_episode_scores,
+    compute_prototypes,
+)
 
 
 @struct.dataclass
@@ -81,6 +85,7 @@ class FewShotEpisodeModel(nn.Module):
             self.mdl.cnn,
             self.mdl.hybrid,
             compute_dtype=self.exp.tpu.compute_dtype,
+            remat=self.exp.tpu.remat,
         )
         if self.exp.use_attention:
             self.attention = SelfAttention(self.mdl.attention)
@@ -168,7 +173,16 @@ class FewShotEpisodeModel(nn.Module):
             )
             scores = self.relation(pairs)[..., 0]  # [E, Q, N] relation logits
         else:
-            scores = jax.vmap(prototype_scores)(query_features, prototypes)
+            # fused Pallas episode head (prototypes + -cdist in VMEM) behind
+            # the tpu.use_pallas knob; XLA vmap head otherwise. A/B numbers
+            # in BASELINE.md decide the default.
+            scores = batched_episode_scores(
+                support_features,
+                labels,
+                query_features,
+                n_way,
+                use_pallas=self.exp.tpu.use_pallas and pallas_enabled(),
+            )
 
         cpl_features = None
         cpl_protos_proj = None

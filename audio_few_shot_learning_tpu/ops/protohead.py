@@ -13,10 +13,12 @@ All shapes are static: an episode has ``n_way`` classes, support features
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from audio_few_shot_learning_tpu.ops.pallas_utils import pallas_enabled, round_up
 
@@ -62,12 +64,43 @@ def batched_episode_scores(
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if not use_pallas:
-        def one(sup, lab, qry):
-            protos = compute_prototypes(sup, lab, n_way)
-            return prototype_scores(qry, protos)
+        return _batched_episode_scores_xla(support, support_labels, queries, n_way)
+    return _fused_scores(support, support_labels, queries, n_way)
 
-        return jax.vmap(one)(support, support_labels, queries)
+
+def _batched_episode_scores_xla(support, support_labels, queries, n_way):
+    def one(sup, lab, qry):
+        protos = compute_prototypes(sup, lab, n_way)
+        return prototype_scores(qry, protos)
+
+    return jax.vmap(one)(support, support_labels, queries)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_scores(support, support_labels, queries, n_way):
+    """Differentiable wrapper: Pallas forward, XLA-derived backward (the
+    training path takes grads through the scores into the features)."""
     return _batched_episode_scores_pallas(support, support_labels, queries, n_way)
+
+
+def _fused_scores_fwd(support, support_labels, queries, n_way):
+    out = _batched_episode_scores_pallas(support, support_labels, queries, n_way)
+    return out, (support, support_labels, queries)
+
+
+def _fused_scores_bwd(n_way, residuals, g):
+    support, support_labels, queries = residuals
+    _, vjp = jax.vjp(
+        lambda s, q: _batched_episode_scores_xla(s, support_labels, q, n_way),
+        support,
+        queries,
+    )
+    g_sup, g_qry = vjp(g)
+    g_lab = np.zeros(support_labels.shape, dtype=jax.dtypes.float0)
+    return g_sup, g_lab, g_qry
+
+
+_fused_scores.defvjp(_fused_scores_fwd, _fused_scores_bwd)
 
 
 def _batched_episode_scores_pallas(support, support_labels, queries, n_way):

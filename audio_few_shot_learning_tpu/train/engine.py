@@ -77,6 +77,12 @@ class Trainer:
         self.test_store = test_store
         self.mesh = mesh if mesh is not None else make_mesh(exp.tpu.mesh_shape)
 
+        # hot-path kernel selection: the tpu.use_pallas knob gates every
+        # Pallas kernel; pallas_enabled() auto-falls-back off-TPU
+        from audio_few_shot_learning_tpu.ops.pallas_utils import pallas_enabled
+
+        self.use_pallas = exp.tpu.use_pallas and pallas_enabled()
+
         self.is_wav = exp.input_type == "wav"
         self.specaug = (not self.is_wav) and exp.specaug_params.use
         self.waveaug = self.is_wav and exp.waveaug_params.use
@@ -95,6 +101,16 @@ class Trainer:
         self.episode_batch = exp.tpu.episode_batch
         self.eval_episode_batch = exp.tpu.eval_episode_batch
         self.steps_per_epoch = -(-exp.n_training_tasks // self.episode_batch)
+        # gradient accumulation: episodes per backward chunk. The conv stack's
+        # full-resolution activations cap a single backward at ~4x50x4 inputs
+        # on 16G HBM (even with remat); larger episode batches scan over
+        # chunks and average the gradient — same semantics, bounded memory.
+        self.microbatch = exp.tpu.episode_microbatch
+        if self.microbatch is not None and self.episode_batch % self.microbatch != 0:
+            raise ValueError(
+                f"episode_microbatch={self.microbatch} must divide "
+                f"episode_batch={self.episode_batch}"
+            )
 
         self.optimizer = make_optimizer(
             exp.lr, exp.scheduler_milestones, exp.scheduler_gamma, self.steps_per_epoch
@@ -152,7 +168,9 @@ class Trainer:
         e = specs.shape[0]
         keys = jax.random.split(key, e)
         views = jax.vmap(
-            lambda s, k: spec_augment_views(s, k, self.exp.specaug_params, use_pallas=False)
+            lambda s, k: spec_augment_views(
+                s, k, self.exp.specaug_params, use_pallas=self.use_pallas
+            )
         )(specs, keys)  # [E, B, 4, F, T]
         return views
 
@@ -261,12 +279,39 @@ class Trainer:
                 k, store, n_way, exp.n_shot_train, exp.n_query_train, False
             )
         )(ep_keys)
-        ep = self._shard_episodes(ep)
 
         grad_fn = jax.value_and_grad(self._loss_and_metrics, has_aux=True)
-        (_, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, ep, k_loss, n_way, vq, store
-        )
+        m = self.microbatch
+        if m is not None and m < self.episode_batch:
+            chunks = self.episode_batch // m
+            ep_c = jax.tree.map(lambda x: x.reshape(chunks, m, *x.shape[1:]), ep)
+            keys_c = jax.random.split(k_loss, chunks)
+
+            def chunk_step(carry, inp):
+                stats, gsum, msum = carry
+                epc, kc = inp
+                epc = self._shard_episodes(epc)
+                (_, (metrics, new_stats)), g = grad_fn(
+                    state.params, stats, epc, kc, n_way, vq, store
+                )
+                return (
+                    new_stats,
+                    jax.tree.map(jnp.add, gsum, g),
+                    jax.tree.map(jnp.add, msum, metrics),
+                ), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            zero_m = {k: jnp.zeros(()) for k in ("loss", "fsl_loss", "cpl_loss")}
+            (new_stats, gsum, msum), _ = jax.lax.scan(
+                chunk_step, (state.batch_stats, zero_g, zero_m), (ep_c, keys_c)
+            )
+            grads = jax.tree.map(lambda g: g / chunks, gsum)
+            metrics = jax.tree.map(lambda v: v / chunks, msum)
+        else:
+            ep = self._shard_episodes(ep)
+            (_, (metrics, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, ep, k_loss, n_way, vq, store
+            )
         upd, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, upd)
         new_state = TrainState(

@@ -1,14 +1,19 @@
-"""Benchmark: training episodes/sec on the flagship config.
+"""Benchmark matrix: episodes/sec across the framework's hot configurations.
 
-Measures the TPU-native framework (Hybrid encoder + SpecAugment 4 views +
-attention fusion + CPL, 5-way 5-shot 5-query — the reference's headline
-configuration) against a faithful in-process torch-CPU re-creation of the
-reference's per-episode loop (same model shapes, per-episode augmentation,
-one Adam step per episode; disk I/O removed, which flatters the baseline).
+Headline: training episodes/sec on the flagship config (Hybrid encoder +
+SpecAugment 4 views + attention fusion + CPL, 5-way 5-shot 5-query — the
+reference's headline configuration) at episode_batch=1 (the reference's exact
+one-optimizer-step-per-episode granularity, loops/loops.py:26-61), vs a
+faithful in-process torch-CPU re-creation of the reference's per-episode loop
+(same model shapes, per-episode augmentation, one Adam step per episode; disk
+I/O removed, which flatters the baseline).
 
-Prints ONE JSON line:
-  {"metric": "train_episodes_per_sec", "value": N, "unit": "episodes/s",
-   "vs_baseline": N / torch_cpu_eps, ...}
+Also measured (the "matrix" field): train eps/s at E in {1,2,4,8}, eval and
+multi-segment-eval throughput, the wav input path (on-device WaveAugment +
+mel), and a self-calibrated roofline (achieved FLOP/s vs what a scanned dense
+bf16 matmul chain sustains on this same device).
+
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -26,43 +31,127 @@ N_MELS, N_FRAMES = 128, 157
 N_WAY, K_SHOT, K_QUERY = 5, 5, 5
 
 
-def make_store():
+def make_store(multiseg=False):
     from audio_few_shot_learning_tpu.data.store import PackedStore
 
     rng = np.random.default_rng(0)
     n_classes, per_class = 35, 40  # ESC-50 train split shape
-    items = [
-        rng.standard_normal((N_MELS, N_FRAMES)).astype(np.float32)
-        for _ in range(n_classes * per_class)
-    ]
+    if multiseg:
+        # BirdClef-like: 1..6 five-second segments per item
+        items = [
+            rng.standard_normal((int(rng.integers(1, 7)), N_MELS, N_FRAMES)).astype(np.float32)
+            for _ in range(n_classes * per_class)
+        ]
+    else:
+        items = [
+            rng.standard_normal((N_MELS, N_FRAMES)).astype(np.float32)
+            for _ in range(n_classes * per_class)
+        ]
     labels = list(np.repeat(np.arange(n_classes), per_class))
     return PackedStore.pack(items, labels, n_classes=n_classes)
 
 
-def bench_tpu(episode_batch: int, steps: int, repeats: int = 3):
-    import dataclasses
+def make_wav_store():
+    from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
 
-    import jax
+    rng = np.random.default_rng(0)
+    n_classes, per_class = 12, 20
+    wavs = [rng.standard_normal(80000).astype(np.float32) for _ in range(n_classes * per_class)]
+    labels = list(np.repeat(np.arange(n_classes), per_class))
+    return PackedWavStore.pack(wavs, labels, n_classes=n_classes)
+
+
+def make_trainer(episode_batch=1, microbatch=None, wav=False, store=None):
+    import dataclasses
 
     from __graft_entry__ import _flagship_configs
     from audio_few_shot_learning_tpu.config import TPUConfig
     from audio_few_shot_learning_tpu.train.engine import Trainer
 
     exp, mdl = _flagship_configs()
+    if wav:
+        exp = dataclasses.replace(
+            exp,
+            input_type="wav",
+            specaug_params=dataclasses.replace(exp.specaug_params, use=False),
+            waveaug_params=dataclasses.replace(exp.waveaug_params, use=True, aug_num=3),
+        )
     exp = dataclasses.replace(
         exp,
-        n_training_tasks=episode_batch * steps,
-        tpu=TPUConfig(episode_batch=episode_batch, eval_episode_batch=episode_batch),
+        n_training_tasks=episode_batch * 20,
+        tpu=TPUConfig(
+            episode_batch=episode_batch,
+            eval_episode_batch=16,
+            episode_microbatch=microbatch,
+        ),
     )
-    store = make_store()
-    trainer = Trainer(exp, mdl, store, val_store=store, test_store=store)
+    if store is None:
+        store = make_wav_store() if wav else make_store()
+    return Trainer(exp, mdl, store, val_store=store, test_store=store)
 
+
+def bench_train(trainer, repeats=3):
     trainer.train_epoch()  # compile + warmup
     best = 0.0
     for _ in range(repeats):
         m = trainer.train_epoch()
         best = max(best, m["episodes_per_sec"])
-    return best, jax.default_backend()
+    return best
+
+
+def bench_eval(trainer, store, n_tasks=256, multisegment=False, repeats=2):
+    kwargs = dict(
+        n_way=N_WAY, k_shot=K_SHOT, k_query=K_QUERY,
+        augment_query=True, multisegment=multisegment,
+        tie_strategy="max_posterior" if multisegment else "",
+    )
+    trainer.evaluate(store, n_tasks=16, **kwargs)  # compile
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        trainer.evaluate(store, n_tasks=n_tasks, **kwargs)
+        best = max(best, n_tasks / (time.perf_counter() - t0))
+    return best
+
+
+def measure_matmul_roof():
+    """What a scanned dense bf16 4096^3 matmul chain sustains on this device —
+    the practical compute roof to compare achieved FLOP/s against."""
+    import jax
+    import jax.numpy as jnp
+
+    n, iters = 4096, 32
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a):
+        def body(x, _):
+            return jnp.tanh(x @ a), None
+        out, _ = jax.lax.scan(body, a, None, length=iters)
+        return out
+
+    jax.block_until_ready(chain(a))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chain(a))
+    dt = time.perf_counter() - t0
+    return 2 * n**3 * iters / dt  # FLOP/s
+
+
+def epoch_flops(trainer):
+    """XLA's own FLOP estimate for one compiled epoch (per episode)."""
+    import jax
+
+    try:
+        fn = trainer._epoch_fn
+        compiled = fn.lower(trainer.state, trainer.train_store, jax.random.PRNGKey(0)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        episodes = trainer.steps_per_epoch * trainer.episode_batch
+        return flops / max(episodes, 1)
+    except Exception:
+        return None
 
 
 def bench_torch_reference(n_episodes: int = 8):
@@ -181,31 +270,73 @@ def bench_torch_reference(n_episodes: int = 8):
 
 
 def main():
+    import jax
+
     quick = "--quick" in sys.argv
-    # episode_batch=1 == the reference's exact one-step-per-episode semantics,
-    # and the per-step cost is linear in E on this device (compute-roof bound
-    # at ~83% of its demonstrated dense-matmul throughput), so E=1 is also
-    # the fastest configuration.
-    episode_batch = 1
-    steps = 8 if quick else 100
+    backend = jax.default_backend()
 
     baseline_eps = bench_torch_reference(n_episodes=2 if quick else 6)
-    tpu_eps, backend = bench_tpu(episode_batch, steps, repeats=1 if quick else 3)
+
+    # --- train matrix -----------------------------------------------------
+    spec_store = make_store()
+    train_eps = {}
+    t1 = make_trainer(1, store=spec_store)
+    train_eps["E1"] = bench_train(t1, repeats=1 if quick else 3)
+    if not quick:
+        for e, mb in ((2, None), (4, None), (8, 4)):
+            tr = make_trainer(e, microbatch=mb, store=spec_store)
+            key = f"E{e}" + (f"_accum{mb}" if mb else "")
+            train_eps[key] = bench_train(tr, repeats=2)
+
+    # --- eval -------------------------------------------------------------
+    eval_eps = bench_eval(t1, spec_store, n_tasks=128 if quick else 512)
+    multiseg_eps = None
+    wav_eps = None
+    if not quick:
+        ms_store = make_store(multiseg=True)
+        multiseg_eps = bench_eval(t1, ms_store, n_tasks=256, multisegment=True)
+        wav_eps = bench_train(make_trainer(1, wav=True), repeats=2)
+
+    # --- roofline ---------------------------------------------------------
+    flops_per_ep = epoch_flops(t1)
+    roof = None
+    if not quick:
+        try:
+            roof = measure_matmul_roof()
+        except Exception:
+            roof = None
+    roofline = {}
+    if flops_per_ep:
+        achieved = flops_per_ep * train_eps["E1"]
+        roofline = {
+            "flops_per_episode": round(flops_per_ep / 1e9, 3),
+            "flops_unit": "GFLOP (XLA cost model, fwd+bwd+update)",
+            "achieved_tflops": round(achieved / 1e12, 3),
+        }
+        if roof:
+            roofline["device_matmul_roof_tflops"] = round(roof / 1e12, 3)
+            roofline["fraction_of_matmul_roof"] = round(achieved / roof, 3)
 
     print(
         json.dumps(
             {
                 "metric": "train_episodes_per_sec",
-                "value": round(tpu_eps, 2),
+                "value": round(train_eps["E1"], 2),
                 "unit": "episodes/s",
-                "vs_baseline": round(tpu_eps / baseline_eps, 2),
+                "vs_baseline": round(train_eps["E1"] / baseline_eps, 2),
                 "baseline": {
                     "what": "torch-CPU reference-equivalent per-episode loop (no disk I/O)",
                     "episodes_per_sec": round(baseline_eps, 3),
                 },
                 "config": "Hybrid+SpecAugment(4v)+attention+CPL 5w5s5q",
                 "backend": backend,
-                "episode_batch": episode_batch,
+                "matrix": {
+                    "train_eps": {k: round(v, 2) for k, v in train_eps.items()},
+                    "eval_eps": round(eval_eps, 2),
+                    "eval_multiseg_eps": round(multiseg_eps, 2) if multiseg_eps else None,
+                    "wav_train_eps": round(wav_eps, 2) if wav_eps else None,
+                    "roofline": roofline,
+                },
             }
         )
     )
