@@ -21,3 +21,8 @@ from audio_few_shot_learning_tpu.preprocessing.to_var_spec import (  # noqa: F40
 from audio_few_shot_learning_tpu.preprocessing.norm_stats import (  # noqa: F401
     compute_global_norm,
 )
+from audio_few_shot_learning_tpu.preprocessing.make_splits import (  # noqa: F401
+    REFERENCE_SPLIT_COUNTS,
+    compute_waveform_norm,
+    make_splits,
+)

@@ -16,6 +16,10 @@ from pathlib import Path
 from typing import Optional, Union
 
 from audio_few_shot_learning_tpu.preprocessing import folder_sort
+from audio_few_shot_learning_tpu.preprocessing.make_splits import (
+    compute_waveform_norm,
+    make_splits,
+)
 from audio_few_shot_learning_tpu.preprocessing.norm_stats import compute_global_norm
 from audio_few_shot_learning_tpu.preprocessing.to_np_and_norm import wav_dir_to_npy
 from audio_few_shot_learning_tpu.preprocessing.to_spec import npy_dir_to_spec
@@ -24,8 +28,12 @@ from audio_few_shot_learning_tpu.preprocessing.to_var_spec import npy_dir_to_var
 SR = 16000
 
 
-def _finish(main_dir: Path, spec_dir: Path) -> None:
+def _finish(main_dir: Path, spec_dir: Path, npy_dir: Path, dataset: str) -> None:
+    """Emit the data assets the loader contract requires (SURVEY.md C18):
+    glob_norm stats, the seeded class-split file, and waveform stats."""
     compute_global_norm(spec_dir, main_dir / "norm_stats" / "glob_norm.npy")
+    make_splits(spec_dir, main_dir / "splits.npy", dataset=dataset)
+    compute_waveform_norm(npy_dir, main_dir / "norm_stats" / "waveform_norm.npy")
 
 
 def full_stack_esc(main_dir: Union[str, Path]) -> None:
@@ -35,7 +43,7 @@ def full_stack_esc(main_dir: Union[str, Path]) -> None:
     wav_dir_to_npy(sorted_dir, npy_dir, sr=SR)
     spec_dir = main_dir / "features"
     npy_dir_to_spec(npy_dir, spec_dir, sample_length=5)
-    _finish(main_dir, spec_dir)
+    _finish(main_dir, spec_dir, npy_dir, "esc")
 
 
 def full_stack_kaggle(main_dir: Union[str, Path]) -> None:
@@ -46,7 +54,7 @@ def full_stack_kaggle(main_dir: Union[str, Path]) -> None:
     # FSD2018 is variable length -> stacked 5 s segments (full_stack_KAGGLE.py)
     spec_dir = main_dir / "features"
     npy_dir_to_var_spec(npy_dir, spec_dir, length_s=5)
-    _finish(main_dir, spec_dir)
+    _finish(main_dir, spec_dir, npy_dir, "kaggle")
 
 
 def full_stack_nsynth(main_dir: Union[str, Path]) -> None:
@@ -56,7 +64,7 @@ def full_stack_nsynth(main_dir: Union[str, Path]) -> None:
     wav_dir_to_npy(sorted_dir, npy_dir, sr=SR)
     spec_dir = main_dir / "features"
     npy_dir_to_spec(npy_dir, spec_dir, sample_length=4)  # NSynth is 4 s
-    _finish(main_dir, spec_dir)
+    _finish(main_dir, spec_dir, npy_dir, "nsynth")
 
 
 def full_stack_birdclef(
@@ -71,7 +79,7 @@ def full_stack_birdclef(
     folder_sort.prune_birdclef(npy_dir, time_thresh_s=180.0, class_thresh=50, sr=SR)
     spec_dir = main_dir / "features"
     npy_dir_to_var_spec(npy_dir, spec_dir, length_s=5)
-    _finish(main_dir, spec_dir)
+    _finish(main_dir, spec_dir, npy_dir, "birdclef")
 
 
 def full_stack_voxceleb(
@@ -83,7 +91,7 @@ def full_stack_voxceleb(
     wav_dir_to_npy(wav_dir, npy_dir, sr=SR)
     spec_dir = main_dir / "features"
     npy_dir_to_var_spec(npy_dir, spec_dir, length_s=5)
-    _finish(main_dir, spec_dir)
+    _finish(main_dir, spec_dir, npy_dir, "voxceleb")
 
 
 _DRIVERS = {

@@ -139,3 +139,68 @@ def test_load_audio_wav_resample(tmp_path):
     out = load_audio(tmp_path / "x.wav", sr=16000)
     assert abs(out.shape[0] - 16000) <= 1
     assert out.dtype == np.float32
+
+
+def test_make_splits_reference_counts(tmp_path):
+    """splits.npy: object array of 3 class-name arrays, seeded-deterministic."""
+    from audio_few_shot_learning_tpu.preprocessing import make_splits
+
+    feat = tmp_path / "features"
+    for i in range(50):  # ESC-50 census
+        (feat / f"class_{i:02}").mkdir(parents=True)
+
+    s1 = make_splits(feat, tmp_path / "splits.npy", dataset="esc", seed=7)
+    s2 = np.load(tmp_path / "splits.npy", allow_pickle=True)
+    assert len(s2) == 3
+    assert [len(a) for a in s2] == [35, 5, 10]
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a, b)
+    # no class in two splits, all classes covered
+    names = np.concatenate(s2)
+    assert len(set(names)) == 50
+    # same seed -> same partition
+    s3 = make_splits(feat, tmp_path / "splits2.npy", dataset="esc", seed=7)
+    np.testing.assert_array_equal(s3[0], s1[0])
+
+
+def test_make_splits_proportional_fallback(tmp_path):
+    """Non-reference class census: reference proportions, >=1 per split."""
+    from audio_few_shot_learning_tpu.preprocessing import make_splits
+
+    feat = tmp_path / "features"
+    for i in range(8):
+        (feat / f"c{i}").mkdir(parents=True)
+    s = make_splits(feat, tmp_path / "splits.npy", dataset="esc", seed=0)
+    assert sum(len(a) for a in s) == 8
+    assert all(len(a) >= 1 for a in s)
+
+
+def test_full_stack_zero_manual_steps(tmp_path):
+    """full_stack on a synthetic raw-audio tree -> a directory that
+    load_packed_split consumes with no manual steps (VERDICT.md item 4)."""
+    from audio_few_shot_learning_tpu.config import ExperimentConfig
+    from audio_few_shot_learning_tpu.data.datasets import load_packed_split
+    from audio_few_shot_learning_tpu.preprocessing.full_stack import full_stack_voxceleb
+
+    rng = np.random.default_rng(6)
+    main = tmp_path / "ds"
+    for c in range(6):
+        d = main / "audio" / f"spk{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            wav = (rng.standard_normal(5 * SR + c * 1000) * 0.2 * 32767).astype(np.int16)
+            scipy.io.wavfile.write(d / f"u{i}.wav", SR, wav)
+
+    full_stack_voxceleb(main)
+
+    assert (main / "splits.npy").exists()
+    assert (main / "norm_stats" / "glob_norm.npy").exists()
+    wf = np.load(main / "norm_stats" / "waveform_norm.npy")
+    assert wf.shape == (2,)
+    assert abs(wf[0]) < 0.05 and abs(wf[1] - 1.0) < 0.05  # per-sample z-norm
+
+    exp = ExperimentConfig.from_dict({"multi_segm": True})
+    stores = {s: load_packed_split(exp, main, s) for s in ("train", "valid", "test")}
+    total_items = sum(st.num_items for st in stores.values())
+    assert total_items == 18
+    assert stores["train"].feat_shape == (128, 157)
