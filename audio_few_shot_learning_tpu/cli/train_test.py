@@ -30,6 +30,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    # Multi-host (DCN) launch detection must precede any backend query; a
+    # single-host run is a no-op here (parallel/mesh.py).
+    from audio_few_shot_learning_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     from audio_few_shot_learning_tpu.config import load_configs
 
     exp, mdl = load_configs(args.experiment_config, args.model_config)

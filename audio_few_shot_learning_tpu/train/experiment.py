@@ -139,6 +139,16 @@ def run_experiment(
     results_dir = os.path.join(experiments_root, exp.experiment_folder)
     os.makedirs(results_dir, exist_ok=True)
 
+    # Persist the resolved configs so downstream analysis (aggregate_results
+    # --sweep, the notebook-equivalent angle sweeps) can group runs by any
+    # hyperparameter without a hand-maintained spreadsheet.
+    import dataclasses as _dc
+
+    with open(os.path.join(results_dir, "config.json"), "w") as f:
+        json.dump(
+            {"experiment": _dc.asdict(exp), "model": _dc.asdict(mdl)}, f, indent=2
+        )
+
     runs = exp.tpu.num_runs if num_runs is None else num_runs
     all_results = []
     for i in range(runs):

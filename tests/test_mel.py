@@ -111,3 +111,45 @@ def test_batched_shapes():
     wav = np.zeros((3, 2, 16000), dtype=np.float32)
     out = MelSpec(flavor="online", use_pallas=False)(wav)
     assert out.shape == (3, 2, N_MELS, 1 + 16000 // HOP_LENGTH)
+
+
+@pytest.mark.parametrize(
+    "scale,norm,sha,total,spots",
+    [
+        (
+            "htk",
+            None,
+            "8f464bedc22b1c892849bf7f91a47847d205e3f7465f950141cf0e8690ff3e0e",
+            506.1060791015625,
+            [(11, 10, 0.7620936036109924), (277, 100, 0.9328660368919373)],
+        ),
+        (
+            "slaney",
+            "slaney",
+            "8c145fa35ae659e67a51982a9a71fbe920b38343115bba722e4e5579b5931d86",
+            8.18838119506836,
+            [(16, 10, 0.029578963294625282), (261, 100, 0.00960148498415947)],
+        ),
+    ],
+)
+def test_filterbank_hash_pinned(scale, norm, sha, total, spots):
+    """Bit-exact pin of the canonical 16 kHz/1024-FFT/128-mel filterbanks.
+
+    The offline (slaney/slaney) matrix is the dataset bit-contract with the
+    reference's librosa preprocessing (offline_preprocessing/to_spec.py:60-63);
+    the online (htk/None) matrix mirrors torchaudio's defaults
+    (src/train_test.py:123-129). Neither library is in this image, so the
+    matrices are pinned by SHA256 of their float32 bytes — any change to the
+    mel-scale math, triangle construction, or normalization trips this test.
+    The spot values (peak of filters 10 and 100) make a hash failure
+    debuggable; swap this pin for vendored librosa golden arrays the first
+    time an environment provides them.
+    """
+    import hashlib
+
+    fb = mel_filterbank(scale=scale, norm=norm)
+    assert fb.dtype == np.float32 and fb.shape == (N_FFT // 2 + 1, N_MELS)
+    assert hashlib.sha256(fb.tobytes()).hexdigest() == sha
+    np.testing.assert_allclose(fb.sum(), total, rtol=1e-6)
+    for i, m, val in spots:
+        np.testing.assert_allclose(fb[i, m], val, rtol=1e-6)

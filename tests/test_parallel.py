@@ -58,3 +58,27 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn).lower(*args).compile()
     assert out is not None
+
+
+def test_maybe_initialize_distributed_noop_single_host(monkeypatch):
+    """Without coordinator args/env, the distributed runtime is never touched."""
+    from audio_few_shot_learning_tpu.parallel import mesh as m
+
+    for var in (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    assert m.maybe_initialize_distributed() is False
+
+
+def test_from_process_local_single_process():
+    from audio_few_shot_learning_tpu.parallel.mesh import from_process_local
+
+    mesh = make_mesh()
+    batch = {"x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    out = from_process_local(batch, mesh)
+    assert len(out["x"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
