@@ -93,3 +93,71 @@ def test_cli_plain_table_still_works(sweep_root, capsys):
     printed = capsys.readouterr().out
     assert "esc_a30" in printed
     assert summary["esc_a30"]["test_accuracy_mean"] == pytest.approx(0.65)
+
+
+def test_run_sweep_orchestration(tmp_path, monkeypatch, capsys):
+    """Sweep runner: per-value configs, folder naming, end table — with the
+    training call stubbed to write driver-shaped artifacts."""
+    import audio_few_shot_learning_tpu.cli.run_sweep as rs
+
+    e_cfg = tmp_path / "exp.json"
+    e_cfg.write_text(
+        json.dumps(
+            {
+                "experiment_folder": "esc",
+                "loss": {"angular": {"use": True, "angle": 0.0}},
+            }
+        )
+    )
+    m_cfg = tmp_path / "model.json"
+    m_cfg.write_text("{}")
+    root = tmp_path / "experiments"
+
+    launched = []
+
+    def fake_run_experiment(exp, mdl, experiments_root, num_runs=None):
+        launched.append((exp.loss.angular.angle, exp.experiment_folder, num_runs))
+        import dataclasses
+
+        d = root / exp.experiment_folder
+        d.mkdir(parents=True)
+        (d / "result_run0.json").write_text(
+            json.dumps(
+                {
+                    "mean_accuracy": 0.5 + exp.loss.angular.angle / 100,
+                    "best_val_accuracy": 0.5,
+                }
+            )
+        )
+        (d / "config.json").write_text(
+            json.dumps({"experiment": dataclasses.asdict(exp), "model": {}})
+        )
+
+    monkeypatch.setattr(
+        "audio_few_shot_learning_tpu.train.experiment.run_experiment",
+        fake_run_experiment,
+    )
+    sw = rs.main(
+        [
+            "-e", str(e_cfg), "-m", str(m_cfg),
+            "--key", "angle", "--values", "0", "15",
+            "--experiments-root", str(root), "--runs", "2",
+        ]
+    )
+    assert [l[0] for l in launched] == [0.0, 15.0]
+    assert launched[0][1] == "esc_angle=0" and launched[0][2] == 2
+    assert set(sw["groups"]) == {"0.0", "15.0"}
+    assert sw["groups"]["15.0"]["test_accuracy_mean"] == pytest.approx(0.65)
+    assert "sweep over loss.angular.angle" in capsys.readouterr().out
+
+
+def test_set_dotted_and_parse_value():
+    from audio_few_shot_learning_tpu.cli.run_sweep import _parse_value, set_dotted
+
+    d = {}
+    set_dotted(d, "loss.angular.angle", 15)
+    assert d == {"loss": {"angular": {"angle": 15}}}
+    assert _parse_value("15") == 15
+    assert _parse_value("0.5") == 0.5
+    assert _parse_value("true") is True
+    assert _parse_value("min_label") == "min_label"
