@@ -443,6 +443,13 @@ class Trainer:
     ) -> Tuple[float, float]:
         """Mean/std of per-task accuracy over n_tasks episodes."""
         batch = min(self.eval_episode_batch, n_tasks)
+        if multisegment:
+            # Multi-segment queries expand every query item into s_max padded
+            # segments, so activation memory per episode grows ~s_max-fold;
+            # shrink the episode batch to keep the compiled program's peak
+            # HBM roughly equal to the single-segment case (a 16-episode batch
+            # at s_max=6 otherwise allocates ~29 GB of conv activations).
+            batch = max(1, batch // max(store.s_max, 1))
         cache_key = (store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
         if cache_key not in self._eval_fns:
             self._eval_fns[cache_key] = jax.jit(
