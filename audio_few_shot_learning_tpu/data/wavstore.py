@@ -26,6 +26,7 @@ from audio_few_shot_learning_tpu.config import SAMPLE_RATE, SEGMENT_SECONDS
 @struct.dataclass
 class PackedWavStore:
     waveforms: jnp.ndarray  # [I, L_max] zero-padded
+    tails: jnp.ndarray  # [I, seg_len] tile(whole sample)[:seg_len], precomputed
     lengths: jnp.ndarray  # [I] int32 true lengths
     seg_counts: jnp.ndarray  # [I] int32 (1 for single-segment stores)
     labels: jnp.ndarray  # [I] int32
@@ -67,9 +68,21 @@ class PackedWavStore:
         # non-multi-segment wav datasets use the whole (fixed-length) waveform
         # (batch_creation.py:83-84: reshape(1,-1), no segmentation)
         seg_len = segment_seconds * sr if multi_segm else l_max
+        l_max = max(l_max, seg_len)  # dynamic_slice of seg_len must fit a row
         packed = np.zeros((len(waveforms), l_max), dtype=np.float32)
+        # Tail segments precomputed host-side: the reference's repeat/tail
+        # semantics (tile the WHOLE sample, batch_creation.py:201-208) only
+        # ever apply to an item's LAST segment, so one [seg_len] row per item
+        # lets on-device extraction be a contiguous dynamic_slice + select
+        # instead of an 80k-element general gather (which runs ~100 ms/episode
+        # on TPU — the gather is the whole wav-path bottleneck).
+        tails = np.zeros((len(waveforms), seg_len), dtype=np.float32)
         for i, w in enumerate(waveforms):
-            packed[i, : w.shape[0]] = np.asarray(w, dtype=np.float32)
+            w = np.asarray(w, dtype=np.float32)
+            packed[i, : w.shape[0]] = w
+            if w.shape[0] > 0:
+                reps = -(-seg_len // w.shape[0])  # ceil
+                tails[i] = np.tile(w, reps)[:seg_len]
 
         if multi_segm:
             # ceil(len/seg_len); short samples get exactly 1 (repeat-padded)
@@ -89,6 +102,7 @@ class PackedWavStore:
         put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
         return PackedWavStore(
             waveforms=put(packed),
+            tails=put(tails),
             lengths=put(lengths),
             seg_counts=put(seg_counts),
             labels=put(labels_np),
@@ -104,15 +118,17 @@ class PackedWavStore:
 
     def extract_segment(self, item: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
         """Segment ``seg`` of item ``item`` -> [seg_len] with the reference's
-        repeat/tail semantics, as pure index arithmetic (jit-friendly)."""
+        repeat/tail semantics (jit-friendly, TPU-fast: contiguous slices only).
+
+        Full segments are a ``dynamic_slice`` of the packed row; the tail /
+        short case selects the precomputed ``tails`` row (tile of the whole
+        sample — only ever the last segment needs it).
+        """
         length = self.lengths[item]
         start = seg * self.seg_len
-        to_end = length - start
-        # full segment available -> positions start+j; otherwise tail/short
-        # case -> tile(whole sample)[:seg_len] == positions j % length
-        j = jnp.arange(self.seg_len)
-        full = to_end >= self.seg_len
-        pos_full = start + j
-        pos_tail = j % jnp.maximum(length, 1)
-        pos = jnp.where(full, pos_full, pos_tail)
-        return self.waveforms[item, jnp.clip(pos, 0, self.waveforms.shape[1] - 1)]
+        full = (length - start) >= self.seg_len
+        row = jax.lax.dynamic_index_in_dim(self.waveforms, item, keepdims=False)
+        start_c = jnp.clip(start, 0, self.waveforms.shape[1] - self.seg_len)
+        sliced = jax.lax.dynamic_slice(row, (start_c,), (self.seg_len,))
+        tail = jax.lax.dynamic_index_in_dim(self.tails, item, keepdims=False)
+        return jnp.where(full, sliced, tail)

@@ -8,15 +8,21 @@ time-stretch and time-masking, producing 1 original + ``aug_num`` augmented
 copies. Cutoffs/SNR bounds adapt to per-dataset spectral statistics exactly
 as in the reference (utils/augmentations.py:186-207,211-277).
 
-TPU-first formulations:
+TPU-first formulations (general gathers/sorts over 80 k-sample rows are the
+enemy — they cost 100-250 ms per batch; everything below is contiguous
+slices, elementwise math, FFTs, or small matmuls):
   * filters are rFFT-domain soft masks (one rfft/irfft pair per transform
     instead of FIR convolutions) — same cutoff semantics, raised-cosine edge;
-  * pitch shift / time stretch are linear-interpolation resamples expressed
-    as gathers;
-  * splice-out compacts kept samples with a stable argsort;
+  * pitch shift / time stretch are linear-interpolation resamples in blocked
+    form: contiguous dynamic_slice windows × two-tap interpolation matrices
+    on the MXU (see ``_resample_to_length``);
+  * shift is a dynamic_slice of the doubled signal; splice-out deletes merged
+    disjoint intervals highest-first with slice+select passes;
   * colored noise is spectrally shaped white noise (f^(-decay/2)) scaled to a
     target SNR.
 All transforms are static-shape, jit- and vmap-friendly ([B, L] batches).
+Transforms whose probability is statically 0 are skipped at trace time — a
+p=0 entry in the chain would otherwise still pay its full compute under jit.
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from audio_few_shot_learning_tpu.config import SAMPLE_RATE, WaveAugParams
 
@@ -101,13 +108,21 @@ def time_inversion(x, key, p):
 
 
 def shift(x, key, min_shift, max_shift, p):
-    """Fractional circular shift (rollover=True, reference Shift transform)."""
+    """Fractional circular shift (rollover=True, reference Shift transform).
+
+    Implemented as a dynamic_slice into the doubled signal (contiguous, fast
+    on TPU) rather than a modular index gather: out[i] = x[(i - offs) % L]
+    == concat(x, x)[(L - offs) % L + i].
+    """
     b, l = x.shape
     k1, k2 = jax.random.split(key)
     frac = jax.random.uniform(k1, (b,), minval=min_shift, maxval=max_shift)
-    offs = (frac * l).astype(jnp.int32)
-    idx = (jnp.arange(l)[None, :] - offs[:, None]) % l
-    return _mix(_per_example(k2, b, p), jnp.take_along_axis(x, idx, axis=1), x)
+    offs = (frac * l).astype(jnp.int32) % l
+    x2 = jnp.concatenate([x, x], axis=1)
+    rolled = jax.vmap(
+        lambda row, o: jax.lax.dynamic_slice(row, (o,), (l,))
+    )(x2, (l - offs) % l)
+    return _mix(_per_example(k2, b, p), rolled, x)
 
 
 def add_colored_noise(x, key, min_snr_db, max_snr_db, min_f_decay, max_f_decay, p, sr=SAMPLE_RATE):
@@ -125,17 +140,48 @@ def add_colored_noise(x, key, min_snr_db, max_snr_db, min_f_decay, max_f_decay, 
     return _mix(_per_example(k4, b, p), x + noise * (target_noise_rms / noise_rms), x)
 
 
-def _resample_to_length(x: jnp.ndarray, rate: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """Per-example linear-interp resample by ``rate``, clipped/padded to out_len."""
+_RS_BLK = 128  # output elements per resample block (one lane tile)
+
+
+def _resample_to_length(
+    x: jnp.ndarray, rate: jnp.ndarray, out_len: int, max_rate: float = 1.5
+) -> jnp.ndarray:
+    """Per-example linear-interp resample by ``rate``, clipped/padded to out_len.
+
+    TPU formulation: a naive fractional-position gather of 80 k elements runs
+    ~250 ms per 150-row batch (general gathers don't vectorize on TPU).
+    Instead the output is produced in 128-element blocks: each block takes a
+    *contiguous* dynamic_slice window of the input and applies a [BLK, WIN]
+    two-tap interpolation matrix (one-hot rows weighted (1-f)/f) on the MXU.
+    ``max_rate`` must statically bound ``rate`` (it sizes the window).
+    """
     b, l = x.shape
-    pos = jnp.arange(out_len)[None, :] * rate[:, None]  # source positions
-    p0 = jnp.floor(pos)
-    w = pos - p0
-    valid = pos <= (l - 1)
-    i0 = jnp.clip(p0, 0, l - 1).astype(jnp.int32)
-    i1 = jnp.clip(p0 + 1, 0, l - 1).astype(jnp.int32)
-    out = (1 - w) * jnp.take_along_axis(x, i0, axis=1) + w * jnp.take_along_axis(x, i1, axis=1)
-    return jnp.where(valid, out, 0.0)
+    span = int(np.ceil(_RS_BLK * max_rate)) + 2  # last tap of a block + 1
+    win = -(-span // _RS_BLK) * _RS_BLK  # round up to a lane multiple
+    rate = jnp.clip(rate, 1e-3, (win - 2.0) / _RS_BLK)
+    n_blocks = -(-out_len // _RS_BLK)
+    xp = jnp.pad(x, ((0, 0), (0, win + _RS_BLK)))
+    j = jnp.arange(_RS_BLK, dtype=jnp.float32)
+    karange = jnp.arange(win, dtype=jnp.int32)
+
+    def one_row(xr, r):
+        def one_block(bi):
+            gstart = bi.astype(jnp.float32) * (_RS_BLK * r)
+            base = jnp.floor(gstart).astype(jnp.int32)
+            window = jax.lax.dynamic_slice(xr, (base,), (win,))
+            pos = (gstart - base) + j * r  # local positions in [0, win-1)
+            p0 = jnp.floor(pos).astype(jnp.int32)
+            f = (pos - p0).astype(x.dtype)
+            w_interp = (karange[None, :] == p0[:, None]) * (1.0 - f)[:, None] + (
+                karange[None, :] == (p0 + 1)[:, None]
+            ) * f[:, None]
+            return w_interp @ window
+
+        out = jax.vmap(one_block)(jnp.arange(n_blocks)).reshape(-1)[:out_len]
+        valid = jnp.arange(out_len) * r <= (l - 1)
+        return jnp.where(valid, out, 0.0)
+
+    return jax.vmap(one_row)(xp, rate)
 
 
 def pitch_shift(x, key, min_semitones, max_semitones, p):
@@ -145,7 +191,10 @@ def pitch_shift(x, key, min_semitones, max_semitones, p):
     k1, k2 = jax.random.split(key)
     st = jax.random.uniform(k1, (b,), minval=min_semitones, maxval=max_semitones)
     rate = 2.0 ** (st / 12.0)
-    return _mix(_per_example(k2, b, p), _resample_to_length(x, rate, l), x)
+    max_rate = 2.0 ** (max(abs(min_semitones), abs(max_semitones)) / 12.0)
+    return _mix(
+        _per_example(k2, b, p), _resample_to_length(x, rate, l, max_rate), x
+    )
 
 
 def time_stretch(x, key, min_ratio, max_ratio, p):
@@ -154,26 +203,50 @@ def time_stretch(x, key, min_ratio, max_ratio, p):
     b, l = x.shape
     k1, k2 = jax.random.split(key)
     ratio = jax.random.uniform(k1, (b,), minval=min_ratio, maxval=max_ratio)
-    return _mix(_per_example(k2, b, p), _resample_to_length(x, 1.0 / ratio, l), x)
+    max_rate = 1.0 / min(min_ratio, max_ratio)
+    return _mix(
+        _per_example(k2, b, p), _resample_to_length(x, 1.0 / ratio, l, max_rate), x
+    )
 
 
 def splice_out(x, key, num_intervals, max_width, p):
     """Remove up to num_intervals random intervals and compact, zero-padding
-    the tail (torch_audiomentations SpliceOut semantics)."""
+    the tail (torch_audiomentations SpliceOut semantics).
+
+    TPU formulation: compacting via stable argsort of an 80 k flag row costs
+    ~140 ms per 150-row batch. Instead the (possibly overlapping) intervals
+    are merged into sorted disjoint pieces with a [B, N] sweep, then deleted
+    highest-start-first — each deletion is `where(i < start, x, x shifted
+    left by width)` with the shift a contiguous dynamic_slice of the
+    zero-extended signal. Deleting in descending start order keeps every
+    remaining piece's coordinates valid, so the result equals union-cut +
+    compact exactly.
+    """
     b, l = x.shape
     k1, k2, k3 = jax.random.split(key, 3)
     starts = jax.random.randint(k1, (b, num_intervals), 0, jnp.maximum(l - max_width, 1))
     widths = jax.random.randint(k2, (b, num_intervals), 1, max_width + 1)
-    idx = jnp.arange(l)[None, None, :]
-    cut = jnp.any(
-        (idx >= starts[:, :, None]) & (idx < (starts + widths)[:, :, None]), axis=1
-    )  # [B, L] True = remove
-    # stable sort moves kept samples (0) forward preserving order
-    order = jnp.argsort(cut.astype(jnp.int32), axis=1, stable=True)
-    compacted = jnp.take_along_axis(x, order, axis=1)
-    keep_counts = (~cut).sum(axis=1, keepdims=True)
-    compacted = jnp.where(jnp.arange(l)[None, :] < keep_counts, compacted, 0.0)
-    return _mix(_per_example(k3, b, p), compacted, x)
+
+    # Sweep-merge into disjoint pieces: after sorting by start, piece i covers
+    # [max(start_i, m_{i-1}), max(end_i, m_{i-1})) with m = running max end.
+    order = jnp.argsort(starts, axis=1)
+    starts = jnp.take_along_axis(starts, order, axis=1)
+    ends = starts + jnp.take_along_axis(widths, order, axis=1)
+    run_max = jax.lax.associative_scan(jnp.maximum, ends, axis=1)
+    prev_max = jnp.concatenate([jnp.zeros((b, 1), ends.dtype), run_max[:, :-1]], axis=1)
+    cut_start = jnp.maximum(starts, prev_max)
+    cut_width = jnp.maximum(ends, prev_max) - cut_start  # >= 0, 0 = swallowed
+
+    xz = x
+    idx = jnp.arange(l)[None, :]
+    for i in range(num_intervals - 1, -1, -1):
+        s_i, w_i = cut_start[:, i], cut_width[:, i]
+        x2 = jnp.concatenate([xz, jnp.zeros_like(xz)], axis=1)
+        shifted = jax.vmap(
+            lambda row, w: jax.lax.dynamic_slice(row, (w,), (l,))
+        )(x2, w_i)
+        xz = jnp.where(idx < s_i[:, None], xz, shifted)
+    return _mix(_per_example(k3, b, p), xz, x)
 
 
 def time_masking(x, key, num_masks, mask_fraction, p):
@@ -214,61 +287,79 @@ class WaveAugment:
         adapted = max_snr * (1.0 - flatness)  # augmentations.py:222-231
 
         ks = jax.random.split(key, 12)
-        x = lowpass(x, ks[0], centroid, centroid + bandwidth / 2, p.get("lowpass_p", 0.5), self.sr)
-        x = pitch_shift(
-            x,
-            ks[1],
-            p.get("pitchshift_min_transpose_semitones", -4),
-            p.get("pitchshift_max_transpose_semitones", 4),
-            p.get("pitchshift_p", 0.5),
-        )
-        x = shift(
-            x, ks[2], p.get("shift_min_shift", -0.5), p.get("shift_max_shift", 0.5), p.get("shift_p", 0.5)
-        )
-        x = time_inversion(x, ks[3], p.get("timeinversion_p", 0.0))
-        x = gain(x, ks[4], p.get("min_gain_in_db", -6), p.get("max_gain_in_db", 6), p.get("gain_p", 0.5))
-        x = add_colored_noise(
-            x,
-            ks[5],
-            min_snr,
-            adapted,  # min draw bound: uniform(min_snr, adapted); bound pair as in reference
-            p.get("noise_min_f_decay", -2),
-            p.get("noise_max_f_decay", 2),
-            p.get("noise_p", 0.5),
-            self.sr,
-        )
-        x = highpass(x, ks[6], centroid - bandwidth / 2, centroid, p.get("highpass_p", 0.3), self.sr)
-        x = bandstop(
-            x,
-            ks[7],
-            centroid - bandwidth / 2,
-            centroid,
-            p.get("bandstop_min_bandwidth_fraction", 0.5),
-            p.get("bandstop_max_bandwidth_fraction", 1.0),
-            p.get("bandstop_p", 0.5),
-            self.sr,
-        )
-        x = splice_out(
-            x,
-            ks[8],
-            int(p.get("spliceout_num_time_intervals", 8)),
-            int(p.get("spliceout_max_width", 400)),
-            p.get("spliceout_p", 0.5),
-        )
-        x = time_stretch(
-            x,
-            ks[9],
-            p.get("min_stretch_ratio", 0.9),
-            p.get("max_stretch_ratio", 1.1),
-            p.get("timestretch_p", 0.0),
-        )
-        x = time_masking(
-            x,
-            ks[10],
-            int(p.get("timemasking_masks", 5)),
-            float(p.get("timemasking_mask_fraction", 0.01)),
-            p.get("timemasking_p", 0.5),
-        )
+
+        # p values are static config floats: a transform with p == 0 is
+        # skipped at trace time (under jit a zero-probability transform would
+        # otherwise still execute its full compute for every example).
+        def prob(name, default):
+            return float(p.get(name, default))
+
+        if prob("lowpass_p", 0.5) > 0:
+            x = lowpass(x, ks[0], centroid, centroid + bandwidth / 2, prob("lowpass_p", 0.5), self.sr)
+        if prob("pitchshift_p", 0.5) > 0:
+            x = pitch_shift(
+                x,
+                ks[1],
+                p.get("pitchshift_min_transpose_semitones", -4),
+                p.get("pitchshift_max_transpose_semitones", 4),
+                prob("pitchshift_p", 0.5),
+            )
+        if prob("shift_p", 0.5) > 0:
+            x = shift(
+                x, ks[2], p.get("shift_min_shift", -0.5), p.get("shift_max_shift", 0.5), prob("shift_p", 0.5)
+            )
+        if prob("timeinversion_p", 0.0) > 0:
+            x = time_inversion(x, ks[3], prob("timeinversion_p", 0.0))
+        if prob("gain_p", 0.5) > 0:
+            x = gain(x, ks[4], p.get("min_gain_in_db", -6), p.get("max_gain_in_db", 6), prob("gain_p", 0.5))
+        if prob("noise_p", 0.5) > 0:
+            x = add_colored_noise(
+                x,
+                ks[5],
+                min_snr,
+                adapted,  # min draw bound: uniform(min_snr, adapted); bound pair as in reference
+                p.get("noise_min_f_decay", -2),
+                p.get("noise_max_f_decay", 2),
+                prob("noise_p", 0.5),
+                self.sr,
+            )
+        if prob("highpass_p", 0.3) > 0:
+            x = highpass(x, ks[6], centroid - bandwidth / 2, centroid, prob("highpass_p", 0.3), self.sr)
+        if prob("bandstop_p", 0.5) > 0:
+            x = bandstop(
+                x,
+                ks[7],
+                centroid - bandwidth / 2,
+                centroid,
+                p.get("bandstop_min_bandwidth_fraction", 0.5),
+                p.get("bandstop_max_bandwidth_fraction", 1.0),
+                prob("bandstop_p", 0.5),
+                self.sr,
+            )
+        if prob("spliceout_p", 0.5) > 0:
+            x = splice_out(
+                x,
+                ks[8],
+                int(p.get("spliceout_num_time_intervals", 8)),
+                int(p.get("spliceout_max_width", 400)),
+                prob("spliceout_p", 0.5),
+            )
+        if prob("timestretch_p", 0.0) > 0:
+            x = time_stretch(
+                x,
+                ks[9],
+                p.get("min_stretch_ratio", 0.9),
+                p.get("max_stretch_ratio", 1.1),
+                prob("timestretch_p", 0.0),
+            )
+        if prob("timemasking_p", 0.5) > 0:
+            x = time_masking(
+                x,
+                ks[10],
+                int(p.get("timemasking_masks", 5)),
+                float(p.get("timemasking_mask_fraction", 0.01)),
+                prob("timemasking_p", 0.5),
+            )
         return x
 
     def __call__(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
