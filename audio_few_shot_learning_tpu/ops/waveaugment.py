@@ -149,39 +149,56 @@ def _resample_to_length(
     """Per-example linear-interp resample by ``rate``, clipped/padded to out_len.
 
     TPU formulation: a naive fractional-position gather of 80 k elements runs
-    ~250 ms per 150-row batch (general gathers don't vectorize on TPU).
-    Instead the output is produced in 128-element blocks: each block takes a
-    *contiguous* dynamic_slice window of the input and applies a [BLK, WIN]
-    two-tap interpolation matrix (one-hot rows weighted (1-f)/f) on the MXU.
+    ~250 ms per 150-row batch (general gathers don't vectorize on TPU), and
+    even per-block ``vmap(dynamic_slice)`` windows lower to a gather (~33 ms).
+    Instead everything is matmuls: window starts are quantized to static
+    multiples of BLK, so the per-block windows live in a sliding-window matrix
+    built from static shifted slices, fetched with a one-hot row matmul (an
+    MXU embedding lookup), and the two interpolation taps are one-hot matmuls
+    against the window and its shift. ~11 ms for [50, 80000] on a v5e.
+
     ``max_rate`` must statically bound ``rate`` (it sizes the window).
+    Positions are computed blockwise in float32, so interpolation fractions
+    deviate from exact ``i*rate`` by ~1e-2 at i~1e5 — semantically irrelevant
+    for augmentation (and the same order as float32's own rounding of i*rate).
     """
     b, l = x.shape
-    span = int(np.ceil(_RS_BLK * max_rate)) + 2  # last tap of a block + 1
-    win = -(-span // _RS_BLK) * _RS_BLK  # round up to a lane multiple
-    rate = jnp.clip(rate, 1e-3, (win - 2.0) / _RS_BLK)
-    n_blocks = -(-out_len // _RS_BLK)
-    xp = jnp.pad(x, ((0, 0), (0, win + _RS_BLK)))
-    j = jnp.arange(_RS_BLK, dtype=jnp.float32)
-    karange = jnp.arange(win, dtype=jnp.int32)
+    blk = _RS_BLK
+    rate = jnp.clip(rate, 1e-3, max_rate)
+    n_blocks = -(-out_len // blk)
+    # window must cover [rem, rem + (blk-1)*rate + 2) with rem < blk
+    win = blk * (1 + int(np.ceil((blk * max_rate + 2.0) / blk)))
+    n_shift = win // blk
+    # rows of blk samples; row m covers x[blk*m : blk*m + win] after shifts
+    max_base = int(np.floor((n_blocks - 1) * blk * max_rate)) + win
+    n_rows = max(-(-max_base // blk) + 1, -(-l // blk))  # also cover the input
+    xp = jnp.pad(x, ((0, 0), (0, (n_rows + n_shift) * blk - l)))
+    rows = xp.reshape(b, -1, blk)
+    slid = jnp.concatenate(
+        [rows[:, s : s + n_rows] for s in range(n_shift)], axis=-1
+    )  # [B, n_rows, win]
+    j = jnp.arange(blk, dtype=jnp.float32)
+    ka = jnp.arange(win, dtype=jnp.int32)
+    bi = jnp.arange(n_blocks, dtype=jnp.float32)
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
 
-    def one_row(xr, r):
-        def one_block(bi):
-            gstart = bi.astype(jnp.float32) * (_RS_BLK * r)
-            base = jnp.floor(gstart).astype(jnp.int32)
-            window = jax.lax.dynamic_slice(xr, (base,), (win,))
-            pos = (gstart - base) + j * r  # local positions in [0, win-1)
-            p0 = jnp.floor(pos).astype(jnp.int32)
-            f = (pos - p0).astype(x.dtype)
-            w_interp = (karange[None, :] == p0[:, None]) * (1.0 - f)[:, None] + (
-                karange[None, :] == (p0 + 1)[:, None]
-            ) * f[:, None]
-            return w_interp @ window
-
-        out = jax.vmap(one_block)(jnp.arange(n_blocks)).reshape(-1)[:out_len]
+    def one_row(w3, r):
+        gstart = bi * (blk * r)  # [n_blocks]
+        m = (jnp.floor(gstart).astype(jnp.int32) // blk).clip(0, n_rows - 1)
+        onehot = (m[:, None] == row_ids[None, :]).astype(x.dtype)
+        wnd = jnp.matmul(onehot, w3, precision="highest")  # [n_blocks, win]
+        pos = (gstart - (m * blk).astype(jnp.float32))[:, None] + j[None, :] * r
+        p0 = jnp.floor(pos).astype(jnp.int32).clip(0, win - 2)
+        f = (pos - p0).astype(x.dtype)
+        oh = (ka[None, None, :] == p0[:, :, None]).astype(x.dtype)
+        tap0 = jnp.einsum("bjk,bk->bj", oh, wnd, precision="highest")
+        wnd1 = jnp.concatenate([wnd[:, 1:], wnd[:, :1]], axis=-1)
+        tap1 = jnp.einsum("bjk,bk->bj", oh, wnd1, precision="highest")
+        out = ((1.0 - f) * tap0 + f * tap1).reshape(-1)[:out_len]
         valid = jnp.arange(out_len) * r <= (l - 1)
         return jnp.where(valid, out, 0.0)
 
-    return jax.vmap(one_row)(xp, rate)
+    return jax.vmap(one_row)(slid, rate)
 
 
 def pitch_shift(x, key, min_semitones, max_semitones, p):
