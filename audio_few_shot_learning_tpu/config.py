@@ -137,7 +137,12 @@ class TPUConfig:
     mesh_shape: Optional[int] = None
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True
-    remat: bool = True  # rematerialize conv blocks in backward (HBM headroom)
+    # Rematerialize conv blocks in the backward pass. None = auto: on only
+    # when the per-backward episode count (microbatch or episode_batch) is
+    # >= 4, where block0's pre-pool activations (~4 GB at E=8 x 50 items x
+    # 4 views) would cap HBM; off at reference granularity E=1, measured
+    # ~5% faster on the v5e (BASELINE.md).
+    remat: Optional[bool] = None
     store_dtype: str = "float32"
     seed: int = 0
     num_runs: int = 5  # reference hardcodes 5 repeated runs (src/train_test.py:103)
@@ -146,6 +151,12 @@ class TPUConfig:
     def from_dict(d: Dict[str, Any]) -> "TPUConfig":
         fields = {f.name for f in dataclasses.fields(TPUConfig)}
         return TPUConfig(**{k: v for k, v in d.items() if k in fields})
+
+    def remat_enabled(self) -> bool:
+        """Resolve the remat policy (None = auto by per-backward batch)."""
+        if self.remat is not None:
+            return self.remat
+        return (self.episode_microbatch or self.episode_batch) >= 4
 
 
 @dataclasses.dataclass(frozen=True)

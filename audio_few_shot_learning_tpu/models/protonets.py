@@ -85,7 +85,7 @@ class FewShotEpisodeModel(nn.Module):
             self.mdl.cnn,
             self.mdl.hybrid,
             compute_dtype=self.exp.tpu.compute_dtype,
-            remat=self.exp.tpu.remat,
+            remat=self.exp.tpu.remat_enabled(),
         )
         if self.exp.use_attention:
             self.attention = SelfAttention(self.mdl.attention)
