@@ -47,3 +47,18 @@ def test_best_hparams_match_reference_tables():
     assert exp.loss.cpl.m_param == 5
     assert abs(exp.loss.l_param - 2.022308) < 1e-9
     assert exp.multi_segm
+
+
+def test_remat_policy_auto_and_explicit():
+    from audio_few_shot_learning_tpu.config import TPUConfig
+
+    # auto: per-backward episode count below 4 -> off, >= 4 -> on
+    assert not TPUConfig(episode_batch=1).remat_enabled()
+    assert not TPUConfig(episode_batch=2).remat_enabled()
+    assert TPUConfig(episode_batch=4).remat_enabled()
+    # grad accumulation: the microbatch is what hits a single backward
+    assert not TPUConfig(episode_batch=8, episode_microbatch=2).remat_enabled()
+    assert TPUConfig(episode_batch=8, episode_microbatch=4).remat_enabled()
+    # explicit values always win
+    assert TPUConfig(episode_batch=1, remat=True).remat_enabled()
+    assert not TPUConfig(episode_batch=8, remat=False).remat_enabled()

@@ -160,3 +160,19 @@ def test_full_chain_views():
     assert np.isfinite(np.asarray(out)).all()
     # augmented copies differ from the original
     assert not np.allclose(np.asarray(out[:, 1]), np.asarray(x))
+
+
+def test_batched_copies_are_independent():
+    """The aug_num copies fold into one chain pass (__call__); draws must
+    still be independent per copy, with the original first."""
+    params = WaveAugParams({"use": True, "aug_num": 3})
+    aug = WaveAugment(params, dataset_name="ESC-50-master")
+    x = _tone(440, b=2)
+    out = np.asarray(jax.jit(lambda a, k: aug(a, k))(x, jax.random.PRNGKey(7)))
+    assert out.shape == (2, 4, L)
+    np.testing.assert_allclose(out[:, 0], np.asarray(x))  # original untouched
+    diffs = [
+        np.abs(out[:, i] - out[:, j]).max()
+        for i in range(1, 4) for j in range(i + 1, 4)
+    ]
+    assert all(d > 1e-4 for d in diffs), diffs  # copies differ pairwise
