@@ -445,11 +445,14 @@ class Trainer:
         batch = min(self.eval_episode_batch, n_tasks)
         if multisegment:
             # Multi-segment queries expand every query item into s_max padded
-            # segments, so activation memory per episode grows ~s_max-fold;
-            # shrink the episode batch to keep the compiled program's peak
-            # HBM roughly equal to the single-segment case (a 16-episode batch
-            # at s_max=6 otherwise allocates ~29 GB of conv activations).
-            batch = max(1, batch // max(store.s_max, 1))
+            # segments, so activation memory per program scales with
+            # batch * s_max ("segment-episodes"). Budget measured on a 16 GB
+            # v5e chip with train state resident: 36 segment-episodes fits
+            # (s_max=6 x batch 6 -> 73.7 eval eps/s vs 38.9 at the previous
+            # batch//s_max rule); 96 OOMs. Eval is forward-only, so the old
+            # train-style //s_max rule was ~3x too conservative.
+            seg_budget = 36
+            batch = max(1, min(batch, seg_budget // max(store.s_max, 1)))
         cache_key = (store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
         if cache_key not in self._eval_fns:
             self._eval_fns[cache_key] = jax.jit(
