@@ -26,7 +26,14 @@ from audio_few_shot_learning_tpu.config import SAMPLE_RATE, SEGMENT_SECONDS
 @struct.dataclass
 class PackedWavStore:
     waveforms: jnp.ndarray  # [I, L_max] zero-padded
-    tails: jnp.ndarray  # [I, seg_len] tile(whole sample)[:seg_len], precomputed
+    # Tail rows tile(sample)[:seg_len], stored ONLY for items shorter than
+    # seg_len — for any item with len >= seg_len the reference's tail
+    # semantics reduce to sample[:seg_len] (batch_creation.py:201-208 repeats
+    # the WHOLE sample, so one repetition already covers seg_len), which is
+    # exactly waveforms[i, :seg_len]. Storing all I rows doubled device
+    # memory for all-full-length stores.
+    tails: jnp.ndarray  # [T, seg_len], T = #short items (>=1 placeholder row)
+    tail_index: jnp.ndarray  # [I] int32 row in ``tails`` (0 when unused)
     lengths: jnp.ndarray  # [I] int32 true lengths
     seg_counts: jnp.ndarray  # [I] int32 (1 for single-segment stores)
     labels: jnp.ndarray  # [I] int32
@@ -72,17 +79,26 @@ class PackedWavStore:
         packed = np.zeros((len(waveforms), l_max), dtype=np.float32)
         # Tail segments precomputed host-side: the reference's repeat/tail
         # semantics (tile the WHOLE sample, batch_creation.py:201-208) only
-        # ever apply to an item's LAST segment, so one [seg_len] row per item
-        # lets on-device extraction be a contiguous dynamic_slice + select
-        # instead of an 80k-element general gather (which runs ~100 ms/episode
-        # on TPU — the gather is the whole wav-path bottleneck).
-        tails = np.zeros((len(waveforms), seg_len), dtype=np.float32)
+        # ever apply to an item's LAST segment, so one [seg_len] row per
+        # short item lets on-device extraction be a contiguous dynamic_slice
+        # + select instead of an 80k-element general gather (which runs
+        # ~100 ms/episode on TPU — the gather is the whole wav-path
+        # bottleneck). Items with len >= seg_len need no stored row: their
+        # tail is sample[:seg_len] == the packed row prefix.
+        tail_rows = []
+        tail_index = np.zeros(len(waveforms), dtype=np.int32)
         for i, w in enumerate(waveforms):
             w = np.asarray(w, dtype=np.float32)
             packed[i, : w.shape[0]] = w
-            if w.shape[0] > 0:
+            if 0 < w.shape[0] < seg_len:
                 reps = -(-seg_len // w.shape[0])  # ceil
-                tails[i] = np.tile(w, reps)[:seg_len]
+                tail_index[i] = len(tail_rows)
+                tail_rows.append(np.tile(w, reps)[:seg_len])
+        tails = (
+            np.stack(tail_rows)
+            if tail_rows
+            else np.zeros((1, seg_len), dtype=np.float32)
+        )
 
         if multi_segm:
             # ceil(len/seg_len); short samples get exactly 1 (repeat-padded)
@@ -103,6 +119,7 @@ class PackedWavStore:
         return PackedWavStore(
             waveforms=put(packed),
             tails=put(tails),
+            tail_index=put(tail_index),
             lengths=put(lengths),
             seg_counts=put(seg_counts),
             labels=put(labels_np),
@@ -120,9 +137,10 @@ class PackedWavStore:
         """Segment ``seg`` of item ``item`` -> [seg_len] with the reference's
         repeat/tail semantics (jit-friendly, TPU-fast: contiguous slices only).
 
-        Full segments are a ``dynamic_slice`` of the packed row; the tail /
-        short case selects the precomputed ``tails`` row (tile of the whole
-        sample — only ever the last segment needs it).
+        Full segments are a ``dynamic_slice`` of the packed row. The tail
+        case tiles the WHOLE sample (batch_creation.py:201-208): for items
+        with len >= seg_len that is just the row prefix sample[:seg_len];
+        only short items need their precomputed ``tails`` row.
         """
         length = self.lengths[item]
         start = seg * self.seg_len
@@ -130,5 +148,9 @@ class PackedWavStore:
         row = jax.lax.dynamic_index_in_dim(self.waveforms, item, keepdims=False)
         start_c = jnp.clip(start, 0, self.waveforms.shape[1] - self.seg_len)
         sliced = jax.lax.dynamic_slice(row, (start_c,), (self.seg_len,))
-        tail = jax.lax.dynamic_index_in_dim(self.tails, item, keepdims=False)
+        prefix = jax.lax.dynamic_slice(row, (jnp.zeros_like(start_c),), (self.seg_len,))
+        short = jax.lax.dynamic_index_in_dim(
+            self.tails, self.tail_index[item], keepdims=False
+        )
+        tail = jnp.where(length < self.seg_len, short, prefix)
         return jnp.where(full, sliced, tail)

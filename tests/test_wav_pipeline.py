@@ -46,6 +46,23 @@ def test_wavstore_segment_extraction_semantics():
         np.asarray(store.extract_segment(2, 1)), np.tile(tail, 2)[:L], atol=1e-6
     )
 
+    # tails rows are stored only for the one short item (ADVICE r01: a full
+    # [I, seg_len] tails array doubled device memory for all-full stores)
+    assert store.tails.shape == (1, L)
+
+
+def test_wavstore_no_tail_rows_when_all_full_length():
+    """All-full-length store keeps a single placeholder tail row, not a
+    second copy of the packed waveforms."""
+    rng = np.random.default_rng(3)
+    wavs = [rng.standard_normal(SR).astype(np.float32) for _ in range(6)]
+    store = PackedWavStore.pack(wavs, [0, 0, 1, 1, 2, 2], n_classes=3)
+    assert store.tails.shape == (1, SR)
+    # non-multiseg, equal lengths: extraction returns the waveform itself
+    np.testing.assert_allclose(
+        np.asarray(store.extract_segment(4, 0)), wavs[4], atol=1e-6
+    )
+
 
 @pytest.fixture(scope="module")
 def wav_root(tmp_path_factory):
