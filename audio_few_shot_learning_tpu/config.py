@@ -143,6 +143,12 @@ class TPUConfig:
     # 4 views) would cap HBM; off at reference granularity E=1, measured
     # ~5% faster on the v5e (BASELINE.md).
     remat: Optional[bool] = None
+    # Multi-segment eval memory budget in "segment-episodes" (eval batch x
+    # store.s_max). None = derive from the device's reported HBM and the
+    # store's feature size, anchored at the measured 36 on a 16 GB v5e with
+    # 128x157 features (96 OOMed). Set explicitly to lower it for bigger
+    # models or raise it on bigger chips without touching engine code.
+    eval_segment_budget: Optional[int] = None
     store_dtype: str = "float32"
     seed: int = 0
     num_runs: int = 5  # reference hardcodes 5 repeated runs (src/train_test.py:103)

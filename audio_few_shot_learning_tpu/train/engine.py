@@ -430,6 +430,30 @@ class Trainer:
             lambda p, po, m, t: majority_vote_accuracy(p, po, m, t, n_way, tie_strategy)
         )(preds, posts, mask, true)
 
+    def _eval_segment_budget(self, store: PackedStore) -> int:
+        """Segment-episode budget for one multi-segment eval program.
+
+        Explicit ``tpu.eval_segment_budget`` wins. Otherwise derive from the
+        device's reported memory limit and the store's per-segment feature
+        size, anchored at the measured point: 36 segment-episodes fit a
+        16 GB v5e with 128x157 features and the flagship 5w5s5q/4-view model
+        resident (96 OOMed). Devices that don't report memory (CPU backend)
+        fall back to the anchor.
+        """
+        if self.exp.tpu.eval_segment_budget is not None:
+            return max(1, self.exp.tpu.eval_segment_budget)
+        anchor, anchor_feat, anchor_bytes = 36, 128 * 157, 16e9
+        feat = int(np.prod(store.feat_shape))
+        mem_ratio = 1.0
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if limit:
+                mem_ratio = float(limit) / anchor_bytes
+        except Exception:
+            pass
+        return max(1, int(anchor * mem_ratio * anchor_feat / max(feat, 1)))
+
     def evaluate(
         self,
         store: PackedStore,
@@ -446,12 +470,10 @@ class Trainer:
         if multisegment:
             # Multi-segment queries expand every query item into s_max padded
             # segments, so activation memory per program scales with
-            # batch * s_max ("segment-episodes"). Budget measured on a 16 GB
-            # v5e chip with train state resident: 36 segment-episodes fits
-            # (s_max=6 x batch 6 -> 73.7 eval eps/s vs 38.9 at the previous
-            # batch//s_max rule); 96 OOMs. Eval is forward-only, so the old
-            # train-style //s_max rule was ~3x too conservative.
-            seg_budget = 36
+            # batch * s_max ("segment-episodes"). Eval is forward-only, so
+            # the old train-style batch//s_max rule was ~3x too conservative
+            # (s_max=6 x batch 6 -> 73.7 eval eps/s vs 38.9).
+            seg_budget = self._eval_segment_budget(store)
             batch = max(1, min(batch, seg_budget // max(store.s_max, 1)))
         cache_key = (store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
         if cache_key not in self._eval_fns:

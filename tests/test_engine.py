@@ -210,3 +210,41 @@ def test_relation_head_variant(stores):
     assert np.isfinite(m["loss"])
     mean, _ = tr.validate()
     assert 0.0 <= mean <= 1.0
+
+
+def test_eval_segment_budget_knob(monkeypatch):
+    """Multi-segment eval memory budget: explicit TPUConfig knob wins; the
+    default derives from device HBM and feature size from the measured
+    36-segment-episode anchor (ADVICE r01 medium: was a hardcoded literal)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from audio_few_shot_learning_tpu.train.engine import Trainer
+
+    def budget(explicit, feat_shape):
+        self = SimpleNamespace(
+            exp=SimpleNamespace(tpu=SimpleNamespace(eval_segment_budget=explicit))
+        )
+        store = SimpleNamespace(feat_shape=feat_shape)
+        return Trainer._eval_segment_budget(self, store)
+
+    # explicit knob wins regardless of device/feature size, floored at 1
+    assert budget(7, (128, 157)) == 7
+    assert budget(0, (128, 157)) == 1
+
+    # derived mode: pin the device memory so the expectation is exact
+    fake_dev = SimpleNamespace(memory_stats=lambda: {"bytes_limit": 32e9})
+    monkeypatch.setattr(jax, "local_devices", lambda: [fake_dev])
+    anchor_feat = 128 * 157
+    # same feature size, 2x the anchor HBM -> 2x the anchor budget
+    assert budget(None, (128, 157)) == 72
+    # anchor HBM, 4x smaller features -> ~4x the budget
+    fake_dev.memory_stats = lambda: {"bytes_limit": 16e9}
+    assert budget(None, (64, 78)) == int(36 * anchor_feat / (64 * 78))
+    # huge features floor at 1, never 0
+    assert budget(None, (100000, 10000)) == 1
+
+    # no reported memory (CPU backend) -> anchor scaling only
+    fake_dev.memory_stats = lambda: None
+    assert budget(None, (128, 157)) == 36
