@@ -8,12 +8,12 @@ faithful in-process torch-CPU re-creation of the reference's per-episode loop
 (same model shapes, per-episode augmentation, one Adam step per episode; disk
 I/O removed, which flatters the baseline).
 
-Also measured (the "matrix" field): train eps/s at E in {1,2,4,8}, eval and
-multi-segment-eval throughput, the wav input path (on-device WaveAugment +
-mel), and a self-calibrated roofline (achieved FLOP/s vs what a scanned dense
-bf16 matmul chain sustains on this same device).
-
-Prints ONE JSON line.
+Default mode measures the headline + one cheap eval and prints ONE JSON
+line in ~3-4 min. `--full` additionally measures train eps/s at E in
+{1,2,4,8}, multi-segment-eval throughput, the wav input path (on-device
+WaveAugment + mel), and a self-calibrated roofline (achieved FLOP/s vs what
+a scanned dense bf16 matmul chain sustains on this same device) — printing
+the headline line before the matrix so it survives any timeout.
 """
 
 from __future__ import annotations
@@ -269,42 +269,71 @@ def bench_torch_reference(n_episodes: int = 8):
     return n_episodes / (time.perf_counter() - t0)
 
 
+def headline_json(train_e1, baseline_eps, backend, extra=None):
+    out = {
+        "metric": "train_episodes_per_sec",
+        "value": round(train_e1, 2),
+        "unit": "episodes/s",
+        "vs_baseline": round(train_e1 / baseline_eps, 2),
+        "baseline": {
+            "what": "torch-CPU reference-equivalent per-episode loop (no disk I/O)",
+            "episodes_per_sec": round(baseline_eps, 3),
+        },
+        "config": "Hybrid+SpecAugment(4v)+attention+CPL 5w5s5q",
+        "backend": backend,
+    }
+    if extra:
+        out.update(extra)
+    return json.dumps(out)
+
+
 def main():
+    """Default mode is the driver-facing headline run (~3-4 min on the real
+    chip: torch baseline + flagship E=1 train + one cheap eval) and prints
+    exactly ONE JSON line. The full matrix (E-scaling, multi-segment eval,
+    wav path, roofline) lives behind --full and prints the headline line
+    FIRST, before any matrix work, so a timeout can never erase the number
+    (this is what turned BENCH_r01 into rc=124/parsed=null)."""
     import jax
 
-    quick = "--quick" in sys.argv
+    full = "--full" in sys.argv  # --quick retained as a no-op alias
     backend = jax.default_backend()
 
-    baseline_eps = bench_torch_reference(n_episodes=2 if quick else 6)
+    baseline_eps = bench_torch_reference(n_episodes=2 if not full else 6)
 
-    # --- train matrix -----------------------------------------------------
     spec_store = make_store()
     train_eps = {}
     t1 = make_trainer(1, store=spec_store)
-    train_eps["E1"] = bench_train(t1, repeats=1 if quick else 3)
-    if not quick:
-        for e, mb in ((2, None), (4, None), (8, 4)):
-            tr = make_trainer(e, microbatch=mb, store=spec_store)
-            key = f"E{e}" + (f"_accum{mb}" if mb else "")
-            train_eps[key] = bench_train(tr, repeats=2)
+    train_eps["E1"] = bench_train(t1, repeats=1 if not full else 3)
 
-    # --- eval -------------------------------------------------------------
-    eval_eps = bench_eval(t1, spec_store, n_tasks=128 if quick else 512)
-    multiseg_eps = None
-    wav_eps = None
-    if not quick:
-        ms_store = make_store(multiseg=True)
-        multiseg_eps = bench_eval(t1, ms_store, n_tasks=256, multisegment=True)
-        wav_eps = bench_train(make_trainer(1, wav=True), repeats=2)
+    if not full:
+        eval_eps = bench_eval(t1, spec_store, n_tasks=128)
+        flops_per_ep = epoch_flops(t1)
+        extra = {"matrix": {"eval_eps": round(eval_eps, 2)}}
+        if flops_per_ep:
+            extra["matrix"]["flops_per_episode_gflop"] = round(flops_per_ep / 1e9, 3)
+        print(headline_json(train_eps["E1"], baseline_eps, backend, extra))
+        return
 
-    # --- roofline ---------------------------------------------------------
+    # --- full matrix: headline first, extras after ------------------------
+    print(headline_json(train_eps["E1"], baseline_eps, backend))
+    sys.stdout.flush()
+
+    for e, mb in ((2, None), (4, None), (8, 4)):
+        tr = make_trainer(e, microbatch=mb, store=spec_store)
+        key = f"E{e}" + (f"_accum{mb}" if mb else "")
+        train_eps[key] = bench_train(tr, repeats=2)
+
+    eval_eps = bench_eval(t1, spec_store, n_tasks=512)
+    ms_store = make_store(multiseg=True)
+    multiseg_eps = bench_eval(t1, ms_store, n_tasks=256, multisegment=True)
+    wav_eps = bench_train(make_trainer(1, wav=True), repeats=2)
+
     flops_per_ep = epoch_flops(t1)
-    roof = None
-    if not quick:
-        try:
-            roof = measure_matmul_roof()
-        except Exception:
-            roof = None
+    try:
+        roof = measure_matmul_roof()
+    except Exception:
+        roof = None
     roofline = {}
     if flops_per_ep:
         achieved = flops_per_ep * train_eps["E1"]
@@ -320,23 +349,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_episodes_per_sec",
-                "value": round(train_eps["E1"], 2),
-                "unit": "episodes/s",
-                "vs_baseline": round(train_eps["E1"] / baseline_eps, 2),
-                "baseline": {
-                    "what": "torch-CPU reference-equivalent per-episode loop (no disk I/O)",
-                    "episodes_per_sec": round(baseline_eps, 3),
-                },
-                "config": "Hybrid+SpecAugment(4v)+attention+CPL 5w5s5q",
-                "backend": backend,
-                "matrix": {
-                    "train_eps": {k: round(v, 2) for k, v in train_eps.items()},
-                    "eval_eps": round(eval_eps, 2),
-                    "eval_multiseg_eps": round(multiseg_eps, 2) if multiseg_eps else None,
-                    "wav_train_eps": round(wav_eps, 2) if wav_eps else None,
-                    "roofline": roofline,
-                },
+                "metric": "bench_matrix",
+                "train_eps": {k: round(v, 2) for k, v in train_eps.items()},
+                "eval_eps": round(eval_eps, 2),
+                "eval_multiseg_eps": round(multiseg_eps, 2),
+                "wav_train_eps": round(wav_eps, 2),
+                "roofline": roofline,
             }
         )
     )

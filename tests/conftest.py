@@ -11,7 +11,17 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU in-process collectives hard-abort when the 8 time-sliced device
+    # threads miss a 40 s rendezvous window; on this contended 1-core box a
+    # straggler can blow that. 600 s buys ~15x margin (same fix as
+    # __graft_entry__.dryrun_multichip, verified with a deliberate straggler).
+    flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags
 os.environ["AFSL_FORCE_PALLAS"] = "0"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
