@@ -11,8 +11,10 @@ as in the reference (utils/augmentations.py:186-207,211-277).
 TPU-first formulations (general gathers/sorts over 80 k-sample rows are the
 enemy — they cost 100-250 ms per batch; everything below is contiguous
 slices, elementwise math, FFTs, or small matmuls):
-  * filters are rFFT-domain soft masks (one rfft/irfft pair per transform
-    instead of FIR convolutions) — same cutoff semantics, raised-cosine edge;
+  * filters are rFFT-domain soft masks (instead of FIR convolutions) — same
+    cutoff semantics, raised-cosine edge; the adjacent AddColoredNoise ->
+    HighPass -> BandStop stretch shares ONE rfft/irfft pair with the noise
+    synthesized directly in the frequency domain (``noise_highpass_bandstop``);
   * pitch shift / time stretch are linear-interpolation resamples in blocked
     form: contiguous dynamic_slice windows × two-tap interpolation matrices
     on the MXU (see ``_resample_to_length``);
@@ -163,6 +165,78 @@ def add_colored_noise(x, key, min_snr_db, max_snr_db, min_f_decay, max_f_decay, 
     return _mix(_per_example(k4, b, p), x + noise * (target_noise_rms / noise_rms), x)
 
 
+def noise_highpass_bandstop(
+    x, key_noise, key_hp, key_bs,
+    min_snr_db, max_snr_db, min_f_decay, max_f_decay,
+    min_cut, max_cut, min_center, max_center, min_bw_frac, max_bw_frac,
+    p_noise, p_hp, p_bs, sr=SAMPLE_RATE,
+):
+    """Fused AddColoredNoise -> HighPass -> BandStop (adjacent in the
+    reference chain, utils/augmentations.py:311-366) sharing ONE rfft/irfft
+    pair for all three.
+
+    The colored noise is synthesized directly in the frequency domain: the
+    rDFT of unit white noise has i.i.d. N(0, L/2) real/imag components on
+    interior bins and real N(0, L) DC/Nyquist bins (L even), so drawing the
+    spectrum skips the noise's own rfft; its RMS for SNR scaling comes from
+    Parseval (sum_t n_t^2 = (|N_0|^2 + 2*sum_interior |N_k|^2 +
+    |N_Nyq|^2)/L). Noise addition and both filter masks are then linear ops
+    on the signal spectrum: out = irfft((rfft(x) + applied*scale*noisespec)
+    * hp_mask * bs_mask). Distributionally identical to the sequential
+    transforms; examples where nothing applies pass through exactly.
+    Statically-zero probabilities skip their draws and masks at trace time.
+    Measured: collapses ~12.7 ms/episode of sequential FFT work to one pair
+    (~6.6 ms per 150x80000 batch)."""
+    b, l = x.shape
+    f = _freqs(l, sr)[None, :]
+    n_freqs = l // 2 + 1
+    spec = jnp.fft.rfft(x, axis=-1)
+
+    any_applied = jnp.zeros((b,), dtype=bool)
+    if p_noise > 0:
+        k1, k2, k3, k4 = jax.random.split(key_noise, 4)
+        snr = jax.random.uniform(k1, (b, 1), minval=min_snr_db, maxval=max_snr_db)
+        decay = jax.random.uniform(k2, (b, 1), minval=min_f_decay, maxval=max_f_decay)
+        w = jax.random.normal(k3, (b, n_freqs, 2))
+        kidx = jnp.arange(n_freqs)
+        edge = (kidx == 0) | (kidx == n_freqs - 1) if l % 2 == 0 else (kidx == 0)
+        real = w[..., 0] * jnp.where(edge, np.sqrt(float(l)), np.sqrt(l / 2.0))
+        imag = w[..., 1] * jnp.where(edge, 0.0, np.sqrt(l / 2.0))
+        shape = jnp.where(f > 0, jnp.maximum(f, 1.0) ** (decay / 2.0), 0.0)
+        nspec = (real + 1j * imag) * shape
+        # Parseval RMS (== time-domain RMS of irfft(nspec), no irfft needed)
+        p2 = real * real + imag * imag
+        w2 = p2 * shape * shape
+        mult = jnp.where(edge, 1.0, 2.0)[None, :]
+        noise_rms = jnp.sqrt(
+            jnp.sum(w2 * mult, axis=-1, keepdims=True) / (float(l) ** 2) + 1e-12
+        )
+        sig_rms = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True) + 1e-12)
+        target_noise_rms = sig_rms / (10.0 ** (snr / 20.0))
+        n_applied = _per_example(k4, b, p_noise)
+        spec = spec + jnp.where(n_applied[:, None], target_noise_rms / noise_rms, 0.0) * nspec
+        any_applied = any_applied | n_applied
+
+    mask = jnp.ones((1, 1))
+    if p_hp > 0:
+        k1, k2 = jax.random.split(key_hp)
+        cut = jax.random.uniform(k1, (b, 1), minval=min_cut, maxval=max_cut)
+        hp_applied = _per_example(k2, b, p_hp)
+        mask = mask * jnp.where(hp_applied[:, None], _soft_edge(f, cut), 1.0)
+        any_applied = any_applied | hp_applied
+    if p_bs > 0:
+        k3, k4, k5 = jax.random.split(key_bs, 3)
+        center = jax.random.uniform(k3, (b, 1), minval=min_center, maxval=max_center)
+        bw = center * jax.random.uniform(k4, (b, 1), minval=min_bw_frac, maxval=max_bw_frac)
+        stop = _soft_edge(f, center - bw / 2) * (1.0 - _soft_edge(f, center + bw / 2))
+        bs_applied = _per_example(k5, b, p_bs)
+        mask = mask * jnp.where(bs_applied[:, None], 1.0 - stop, 1.0)
+        any_applied = any_applied | bs_applied
+
+    out = jnp.fft.irfft(spec * mask, n=l, axis=-1).astype(x.dtype)
+    return _mix(any_applied, out, x)
+
+
 # Output elements per resample block. Total one-hot interp work scales as
 # out_len * win with win ≈ 3*blk, so SMALL blocks win: measured on v5e for
 # [50, 80000], blk=128 -> 7.9 ms, 64 -> 5.5 ms, 32 -> 4.75 ms.
@@ -257,14 +331,21 @@ def splice_out(x, key, num_intervals, max_width, p):
     the tail (torch_audiomentations SpliceOut semantics).
 
     TPU formulation: compacting via stable argsort of an 80 k flag row costs
-    ~140 ms per 150-row batch. Instead the (possibly overlapping) intervals
-    are merged into sorted disjoint pieces with a [B, N] sweep, then deleted
-    highest-start-first — each deletion is `where(i < start, x, x shifted
-    left by width)` with the shift a contiguous dynamic_slice of the
-    zero-extended signal. Deleting in descending start order keeps every
-    remaining piece's coordinates valid, so the result equals union-cut +
-    compact exactly.
-    """
+    ~140 ms per 150-row batch, and the earlier N sequential delete passes
+    (slice + select per interval) cost ~14.5 ms/episode in the train step.
+    Single-pass form instead: merge the (possibly overlapping) intervals
+    into sorted disjoint pieces with a [B, N] sweep, then observe that
+    compaction is piecewise-constant shifting — output position i reads
+    source i + C_k, where C_k is the cumulative cut width of the first k
+    intervals and k increments at output-coordinate breakpoints
+    b_k = s_k - C_{k-1} (nondecreasing for disjoint sorted cuts). So the
+    result is a select among N+1 contiguous dynamic-sliced copies of the
+    zero-extended signal. Crucially the select runs as a `lax.scan` over
+    rows: a batched per-row dynamic_slice lowers to a gather (~2 ms each on
+    v5e for [150, 80k]) while a scalar-start slice of one row is a cheap
+    contiguous copy — measured 4.8 ms/batch for the whole N=8 splice vs
+    15.7 ms for the batched multi-pass form. Exactly equal to union-cut +
+    compact (and to the old multi-pass form, which tests pin)."""
     b, l = x.shape
     k1, k2, k3 = jax.random.split(key, 3)
     starts = jax.random.randint(k1, (b, num_intervals), 0, jnp.maximum(l - max_width, 1))
@@ -280,16 +361,28 @@ def splice_out(x, key, num_intervals, max_width, p):
     cut_start = jnp.maximum(starts, prev_max)
     cut_width = jnp.maximum(ends, prev_max) - cut_start  # >= 0, 0 = swallowed
 
-    xz = x
-    idx = jnp.arange(l)[None, :]
-    for i in range(num_intervals - 1, -1, -1):
-        s_i, w_i = cut_start[:, i], cut_width[:, i]
-        x2 = jnp.concatenate([xz, jnp.zeros_like(xz)], axis=1)
-        shifted = jax.vmap(
-            lambda row, w: jax.lax.dynamic_slice(row, (w,), (l,))
-        )(x2, w_i)
-        xz = jnp.where(idx < s_i[:, None], xz, shifted)
-    return _mix(_per_example(k3, b, p), xz, x)
+    cum = jnp.cumsum(cut_width, axis=1)  # [B, N] C_k (1-indexed)
+    cum_prev = jnp.concatenate([jnp.zeros((b, 1), cum.dtype), cum[:, :-1]], axis=1)
+    bkpt = cut_start - cum_prev  # [B, N] output-coord breakpoints, nondecreasing
+    idx = jnp.arange(l)
+
+    x2 = jnp.pad(x, ((0, 0), (0, num_intervals * max_width)))
+    shifts = jnp.concatenate([jnp.zeros((b, 1), cum.dtype), cum], axis=1)  # [B, N+1]
+
+    def one_row(_, row_shift_bkpt):
+        row, row_shifts, row_bkpt = row_shift_bkpt
+        # region(i) = #{k : i >= b_k} in 0..N selects shift C_region (C_0 = 0)
+        region = jnp.zeros((l,), jnp.int32)
+        for k in range(num_intervals):
+            region = region + (idx >= row_bkpt[k]).astype(jnp.int32)
+        out = jnp.where(region == 0, row[:l], 0.0)
+        for k in range(1, num_intervals + 1):
+            sl = jax.lax.dynamic_slice(row, (row_shifts[k],), (l,))
+            out = out + jnp.where(region == k, sl, 0.0)
+        return None, out
+
+    _, out = jax.lax.scan(one_row, None, (x2, shifts, bkpt))
+    return _mix(_per_example(k3, b, p), out, x)
 
 
 def time_masking(x, key, num_masks, mask_fraction, p):
@@ -355,7 +448,23 @@ class WaveAugment:
             x = time_inversion(x, ks[3], prob("timeinversion_p", 0.0))
         if prob("gain_p", 0.5) > 0:
             x = gain(x, ks[4], p.get("min_gain_in_db", -6), p.get("max_gain_in_db", 6), prob("gain_p", 0.5))
-        if prob("noise_p", 0.5) > 0:
+        p_noise = prob("noise_p", 0.5)
+        p_hp, p_bs = prob("highpass_p", 0.3), prob("bandstop_p", 0.5)
+        if (p_noise > 0) + (p_hp > 0) + (p_bs > 0) >= 2:
+            # adjacent spectrum-domain transforms share one rfft/irfft pair;
+            # statically-zero members are traced out inside
+            x = noise_highpass_bandstop(
+                x, ks[5], ks[6], ks[7],
+                min_snr, adapted,  # min draw bound pair as in reference
+                p.get("noise_min_f_decay", -2),
+                p.get("noise_max_f_decay", 2),
+                centroid - bandwidth / 2, centroid,
+                centroid - bandwidth / 2, centroid,
+                p.get("bandstop_min_bandwidth_fraction", 0.5),
+                p.get("bandstop_max_bandwidth_fraction", 1.0),
+                p_noise, p_hp, p_bs, self.sr,
+            )
+        elif p_noise > 0:
             x = add_colored_noise(
                 x,
                 ks[5],
@@ -363,20 +472,8 @@ class WaveAugment:
                 adapted,  # min draw bound: uniform(min_snr, adapted); bound pair as in reference
                 p.get("noise_min_f_decay", -2),
                 p.get("noise_max_f_decay", 2),
-                prob("noise_p", 0.5),
+                p_noise,
                 self.sr,
-            )
-        p_hp, p_bs = prob("highpass_p", 0.3), prob("bandstop_p", 0.5)
-        if p_hp > 0 and p_bs > 0:
-            # adjacent filters share one rfft/irfft pair; same draws as the
-            # separate calls (keys split identically inside)
-            x = highpass_bandstop(
-                x, ks[6], ks[7],
-                centroid - bandwidth / 2, centroid,
-                centroid - bandwidth / 2, centroid,
-                p.get("bandstop_min_bandwidth_fraction", 0.5),
-                p.get("bandstop_max_bandwidth_fraction", 1.0),
-                p_hp, p_bs, self.sr,
             )
         elif p_hp > 0:
             x = highpass(x, ks[6], centroid - bandwidth / 2, centroid, p_hp, self.sr)

@@ -12,7 +12,9 @@ from audio_few_shot_learning_tpu.ops.waveaugment import (
     bandstop,
     gain,
     highpass,
+    highpass_bandstop,
     lowpass,
+    noise_highpass_bandstop,
     pitch_shift,
     shift,
     splice_out,
@@ -132,6 +134,106 @@ def test_time_masking_zeroes_windows(rng):
     zeros = (y == 0).sum(axis=-1)
     assert (zeros >= int(L * 0.01)).all()
     assert (zeros <= 3 * int(L * 0.01)).all()
+
+
+def test_splice_out_single_pass_matches_multipass(rng):
+    """The select-among-shifts formulation equals the earlier N sequential
+    delete passes bit-for-bit (both implement union-cut + compact)."""
+
+    def splice_out_multipass(x, key, num_intervals, max_width, p):
+        b, l = x.shape
+        k1, k2, k3 = jax.random.split(key, 3)
+        starts = jax.random.randint(k1, (b, num_intervals), 0, jnp.maximum(l - max_width, 1))
+        widths = jax.random.randint(k2, (b, num_intervals), 1, max_width + 1)
+        order = jnp.argsort(starts, axis=1)
+        starts = jnp.take_along_axis(starts, order, axis=1)
+        ends = starts + jnp.take_along_axis(widths, order, axis=1)
+        run_max = jax.lax.associative_scan(jnp.maximum, ends, axis=1)
+        prev_max = jnp.concatenate([jnp.zeros((b, 1), ends.dtype), run_max[:, :-1]], axis=1)
+        cut_start = jnp.maximum(starts, prev_max)
+        cut_width = jnp.maximum(ends, prev_max) - cut_start
+        xz = x
+        idx = jnp.arange(l)[None, :]
+        for i in range(num_intervals - 1, -1, -1):
+            s_i, w_i = cut_start[:, i], cut_width[:, i]
+            x2 = jnp.concatenate([xz, jnp.zeros_like(xz)], axis=1)
+            shifted = jax.vmap(lambda row, w: jax.lax.dynamic_slice(row, (w,), (l,)))(x2, w_i)
+            xz = jnp.where(idx < s_i[:, None], xz, shifted)
+        from audio_few_shot_learning_tpu.ops.waveaugment import _mix, _per_example
+
+        return _mix(_per_example(k3, b, p), xz, x)
+
+    nprng = np.random.default_rng(0)
+    for trial, (b, l, n, w) in enumerate(
+        [(6, 4000, 8, 400), (4, 1000, 3, 500), (5, 2048, 1, 100), (3, 500, 8, 120)]
+    ):
+        x = jnp.asarray(nprng.standard_normal((b, l)).astype(np.float32))
+        for seed in range(3):
+            k = jax.random.PRNGKey(seed + 100 * trial)
+            np.testing.assert_array_equal(
+                np.asarray(splice_out(x, k, n, w, p=1.0)),
+                np.asarray(splice_out_multipass(x, k, n, w, p=1.0)),
+            )
+
+
+def test_fused_noise_hp_bs_matches_parts(rng):
+    """noise_highpass_bandstop: filters-only mode is draw-for-draw identical
+    to highpass_bandstop; noise-only mode hits the target SNR via the
+    Parseval scaling; all-off passes through exactly."""
+    nprng = np.random.default_rng(1)
+    x = jnp.asarray(nprng.standard_normal((6, L)).astype(np.float32))
+    kn, kh, kb = jax.random.split(jax.random.PRNGKey(3), 3)
+
+    a = noise_highpass_bandstop(
+        x, kn, kh, kb, 10, 25, -2, 2, 1000, 2000, 1000, 2000, 0.5, 1.0,
+        0.0, 0.3, 0.5, SR,
+    )
+    b = highpass_bandstop(x, kh, kb, 1000, 2000, 1000, 2000, 0.5, 1.0, 0.3, 0.5, SR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    y = np.asarray(
+        noise_highpass_bandstop(
+            x, kn, kh, kb, 10.0, 10.0, 0.0, 0.0, 1000, 2000, 1000, 2000,
+            0.5, 1.0, 1.0, 0.0, 0.0, SR,
+        )
+    )
+    noise = y - np.asarray(x)
+    snr = 20 * np.log10(
+        np.sqrt((np.asarray(x) ** 2).mean(-1)) / np.sqrt((noise**2).mean(-1))
+    )
+    np.testing.assert_allclose(snr, 10.0, atol=0.4)
+
+    z = noise_highpass_bandstop(
+        x, kn, kh, kb, 10, 25, -2, 2, 1000, 2000, 1000, 2000, 0.5, 1.0,
+        1e-9, 1e-9, 1e-9, SR,
+    )
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+
+
+def test_fused_noise_spectrum_matches_time_domain_noise():
+    """Frequency-domain noise synthesis has the same spectral shape as the
+    time-domain add_colored_noise it replaces (mean PSD ratio across draws)."""
+    nprng = np.random.default_rng(2)
+    x = jnp.asarray(nprng.standard_normal((4, L)).astype(np.float32))
+    kh, kb = jax.random.split(jax.random.PRNGKey(0))
+    ps_f, ps_o = [], []
+    for s in range(12):
+        k = jax.random.PRNGKey(s)
+        yf = np.asarray(
+            noise_highpass_bandstop(
+                x, k, kh, kb, 10.0, 10.0, 2.0, 2.0, 1000, 2000, 1000, 2000,
+                0.5, 1.0, 1.0, 0.0, 0.0, SR,
+            )
+        ) - np.asarray(x)
+        yo = np.asarray(add_colored_noise(x, k, 10.0, 10.0, 2.0, 2.0, 1.0, SR)) - np.asarray(x)
+        ps_f.append(np.abs(np.fft.rfft(yf, axis=-1)) ** 2)
+        ps_o.append(np.abs(np.fft.rfft(yo, axis=-1)) ** 2)
+    pf = np.mean(ps_f, axis=(0, 1))
+    po = np.mean(ps_o, axis=(0, 1))
+    lo, hi = slice(10, 400), slice(2000, 6000)
+    r_f = pf[hi].mean() / pf[lo].mean()
+    r_o = po[hi].mean() / po[lo].mean()
+    assert 0.4 < r_f / r_o < 2.5, (r_f, r_o)
 
 
 def test_full_chain_views():
