@@ -77,6 +77,7 @@ def test_early_stopping_reset_on_improvement():
     assert es.counter == 0 and not es.early_stop
 
 
+@pytest.mark.slow
 def test_experiment_driver_end_to_end(tmp_path):
     """run_experiment: full reference flow on a synthetic dataset, 1 run."""
     from audio_few_shot_learning_tpu.data.datasets import make_synthetic_dataset

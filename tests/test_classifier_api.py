@@ -1,5 +1,6 @@
 """Stateful classifier API + util functions tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -71,6 +72,7 @@ def test_cosine_scores_vs_oracle():
     assert (np.abs(got) <= 1 + 1e-5).all()
 
 
+@pytest.mark.slow
 def test_contrastive_api_shapes():
     exp, mdl = _cfg(use_attention=True)
     mdl_d = {

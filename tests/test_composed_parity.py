@@ -191,6 +191,7 @@ def _cpl_oracle(protos, queries, labels, t):
     return (torch.stack(losses).mean() / len(queries)).item()
 
 
+@pytest.mark.slow
 def test_composed_forward_attention_variant():
     sup, qry, sup_lab, qry_lab = _episode(0)
     model = _flax_model(use_attention=True)
@@ -246,6 +247,7 @@ def test_composed_forward_attention_variant():
     np.testing.assert_allclose(cpl_j, cpl_t, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_composed_forward_no_attention_variant():
     """View-major batch concat + xV label tiling (prototypical.py:96-126,
     loops/loops.py:33-37)."""

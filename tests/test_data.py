@@ -209,6 +209,7 @@ def test_class_sampling_uniform(synth_root):
     assert p > 1e-4, f"class sampling non-uniform: {counts} (p={p})"
 
 
+@pytest.mark.slow
 def test_segment_pick_uniform(synth_multiseg_root):
     """Random segment selection is uniform over an item's real segments."""
     store = MetaAudioDataset(_exp(True), synth_multiseg_root, "train").to_packed_store()

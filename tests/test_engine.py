@@ -66,6 +66,7 @@ def _exp(overrides):
     return exp, mdl
 
 
+@pytest.mark.slow
 def test_plain_protonet_learns(stores):
     """BASELINE config #1: plain ProtoNet, CNN encoder, no augmentation."""
     root, load = stores
@@ -82,6 +83,7 @@ def test_plain_protonet_learns(stores):
     assert msg["mean_accuracy"] > 0.4
 
 
+@pytest.mark.slow
 def test_contrastive_attention_cpl_variant(stores):
     """Flagship config: Hybrid encoder + SpecAugment + attention + CPL."""
     root, load = stores
@@ -108,6 +110,7 @@ def test_contrastive_attention_cpl_variant(stores):
     assert 0.0 <= mean <= 1.0
 
 
+@pytest.mark.slow
 def test_angular_no_attention_variant(stores):
     root, load = stores
     exp, mdl = _exp(
@@ -139,6 +142,7 @@ def test_angular_no_attention_variant(stores):
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 def test_multisegment_eval(tmp_path_factory):
     root = make_synthetic_dataset(
         tmp_path_factory.mktemp("mseg"),
@@ -174,6 +178,7 @@ def test_multisegment_eval(tmp_path_factory):
         assert 0.0 <= mean <= 1.0
 
 
+@pytest.mark.slow
 def test_episode_batch_one_matches_reference_step_granularity(stores):
     """episode_batch=1 -> one optimizer step per task (reference semantics)."""
     root, load = stores
@@ -186,6 +191,7 @@ def test_episode_batch_one_matches_reference_step_granularity(stores):
     assert int(tr.state.step) == 6
 
 
+@pytest.mark.slow
 def test_relation_head_variant(stores):
     """relation_head=True: RelationNet pair scoring replaces -cdist (the
     reference declares the flag but never implemented it, README.md:417-424)."""

@@ -163,6 +163,7 @@ def _episode_model(use_attention: bool, encoder: str = "Hybrid"):
     return FewShotEpisodeModel(exp=exp, mdl=ModelConfig())
 
 
+@pytest.mark.slow
 def test_episode_model_with_attention(rng):
     model = _episode_model(True)
     s, q, v, n = 25, 25, 4, 5

@@ -45,6 +45,7 @@ def test_sharded_gradient_mean_matches_single_device():
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full_train_step():
     """The driver's dryrun: full sharded train step on an 8-device mesh."""
     import __graft_entry__ as g

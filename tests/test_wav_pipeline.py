@@ -131,6 +131,7 @@ def test_wav_episode_sampling(wav_root, rng):
     assert ep.query.shape == (6, SR)
 
 
+@pytest.mark.slow
 def test_wav_training_epoch_runs(wav_root):
     exp, mdl = _wav_exp()
     load = lambda s: MetaAudioDataset(exp, wav_root, s).to_packed_store()

@@ -136,6 +136,7 @@ def test_time_masking_zeroes_windows(rng):
     assert (zeros <= 3 * int(L * 0.01)).all()
 
 
+@pytest.mark.slow
 def test_splice_out_single_pass_matches_multipass(rng):
     """The select-among-shifts formulation equals the earlier N sequential
     delete passes bit-for-bit (both implement union-cut + compact)."""
