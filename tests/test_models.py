@@ -139,6 +139,87 @@ def test_hybrid_param_count_order_of_magnitude():
     assert 5e4 < n < 3e5, n
 
 
+def test_pool_relu_order_gradient_equivalence():
+    """ConvBlock applies pool BEFORE relu (encoders.py), the reference the
+    reverse (main_modules.py:43-60). Pins that the swap is exact for values
+    AND gradients, including the tricky cases: all-negative windows, exact
+    zeros (relu'(0)=0), and tied positive maxima (SelectAndScatter routes to
+    the same argmax either way because relu preserves positive ordering)."""
+    from flax import linen as nn
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 12, 12, 3)).astype(np.float32)
+    x[0, :6, :6, 0] = -np.abs(x[0, :6, :6, 0])  # all-negative windows
+    x[1, :3, :3, 1] = 0.0  # exact-zero windows
+    x[2, 0, 0, 2] = x[2, 0, 1, 2] = 1.5  # tied positive max in one window
+    x = jnp.asarray(x)
+    cot = jnp.asarray(rng.standard_normal((4, 4, 4, 3)).astype(np.float32))
+
+    def relu_then_pool(v):
+        return jnp.sum(nn.max_pool(nn.relu(v), (3, 3), strides=(3, 3)) * cot)
+
+    def pool_then_relu(v):
+        return jnp.sum(nn.relu(nn.max_pool(v, (3, 3), strides=(3, 3))) * cot)
+
+    f_ref, g_ref = jax.value_and_grad(relu_then_pool)(x)
+    f_new, g_new = jax.value_and_grad(pool_then_relu)(x)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_new))
+    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_new))
+
+
+def test_conv_block_gradients_match_torch_reference_order():
+    """Full ConvBlock backward vs torch autograd through the REFERENCE op
+    order (conv -> BN(eval) -> relu -> maxpool): same cotangent, same weights,
+    matching conv kernel/bias and input grads despite the swapped pool/relu."""
+    import torch
+
+    from audio_few_shot_learning_tpu.models.encoders import ConvBlock
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 9, 9, 2)).astype(np.float32)
+    blk = ConvBlock(features=8, pool=(3, 3), compute_dtype="float32")
+    variables = blk.init(jax.random.PRNGKey(1), jnp.asarray(x), train=False)
+    # scramble BN stats/affine so eval BN is a real transform
+    stats = {
+        "mean": jnp.asarray(rng.normal(0, 0.05, 8).astype(np.float32)),
+        "var": jnp.asarray(rng.uniform(0.8, 1.2, 8).astype(np.float32)),
+    }
+    params = jax.tree.map(lambda p: p, variables["params"])
+    variables = {"params": params, "batch_stats": {"BandwidthBatchNorm_0": stats}}
+    cot = rng.standard_normal((2, 3, 3, 8)).astype(np.float32)
+
+    def loss(p, v):
+        out = blk.apply({"params": p, "batch_stats": variables["batch_stats"]}, v, train=False)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    grads_p, grad_x = jax.grad(loss, argnums=(0, 1))(params, jnp.asarray(x))
+
+    conv = torch.nn.Conv2d(2, 8, 3, padding=1)
+    conv.weight.data = torch.tensor(np.asarray(params["Conv_0"]["kernel"])).permute(3, 2, 0, 1)
+    conv.bias.data = torch.tensor(np.asarray(params["Conv_0"]["bias"]))
+    bn = torch.nn.BatchNorm2d(8, eps=1e-5)
+    bn.weight.data = torch.tensor(np.asarray(params["BandwidthBatchNorm_0"]["scale"]))
+    bn.bias.data = torch.tensor(np.asarray(params["BandwidthBatchNorm_0"]["bias"]))
+    bn.running_mean.data = torch.tensor(np.asarray(stats["mean"]))
+    bn.running_var.data = torch.tensor(np.asarray(stats["var"]))
+    bn.eval()
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)), requires_grad=True)
+    out = torch.nn.functional.max_pool2d(torch.relu(bn(conv(xt))), 3, 3)
+    out.backward(torch.tensor(np.transpose(cot, (0, 3, 1, 2))))
+
+    np.testing.assert_allclose(
+        np.asarray(grads_p["Conv_0"]["kernel"]),
+        conv.weight.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads_p["Conv_0"]["bias"]), conv.bias.grad.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(grad_x), xt.grad.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_projection_head_l2_normalized():
     mod = ProjectionHead(ProjectionConfig(input_dim=256, hidden_dim=128, output_dim=256))
     x = jnp.asarray(np.random.default_rng(0).standard_normal((7, 256)).astype(np.float32)) * 10
