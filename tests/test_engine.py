@@ -254,3 +254,38 @@ def test_eval_segment_budget_knob(monkeypatch):
     # no reported memory (CPU backend) -> anchor scaling only
     fake_dev.memory_stats = lambda: None
     assert budget(None, (128, 157)) == 36
+
+
+@pytest.mark.slow
+def test_bf16_store_trains_and_evaluates(stores):
+    """tpu.store_dtype='bfloat16' (the NSynth-scale HBM option, store.py:19)
+    flows end-to-end: the packed split is bf16 in device memory, SpecAugment
+    views stay bf16 (specaugment.py preserves spec.dtype), and training/eval
+    still produce finite losses and sane accuracies."""
+    import ml_dtypes
+
+    from audio_few_shot_learning_tpu.data.datasets import load_packed_split
+
+    root, _ = stores
+    exp, mdl = _exp(
+        {
+            "specaug_params": {
+                "use": True, "mask_param": 8, "W": 6, "num_mask": 1,
+                "mask_value": 0, "p": 0.3,
+            },
+            "train_query_augmentations": True,
+            "num_epochs": 1,
+            "tpu": {
+                "episode_batch": 2, "eval_episode_batch": 4,
+                "mesh_shape": 1, "store_dtype": "bfloat16",
+            },
+        }
+    )
+    train = load_packed_split(exp, root, "train")
+    assert train.segments.dtype == ml_dtypes.bfloat16
+    val = load_packed_split(exp, root, "valid")
+    tr = Trainer(exp, mdl, train, val_store=val, test_store=val)
+    m = tr.train_epoch()
+    assert np.isfinite(m["loss"])
+    mean, _ = tr.validate()
+    assert 0.0 <= mean <= 1.0
