@@ -74,10 +74,11 @@ class MetaAudioDataset:
             x = (x - self.mean) / self.std
         return x, self.labels[item]
 
-    def _to_packed_store_native(self, device=None):
+    def _to_packed_store_native(self, device=None, dtype=np.float32):
         """Fast path: the C++ packer (native/npy_pack.cc) parses/streams/
         normalizes every .npy on a thread pool straight into the packed
-        buffer. Returns None when unavailable or shapes are irregular."""
+        buffer (float32 or bfloat16). Returns None when unavailable or
+        shapes are irregular."""
         from audio_few_shot_learning_tpu.data import native_pack
 
         if self.input_type != "spec" or not native_pack.native_available():
@@ -97,7 +98,7 @@ class MetaAudioDataset:
         seg_elems = f_dim * t_dim
         offsets = np.zeros(len(seg_counts) + 1, dtype=np.int64)
         offsets[1:] = np.cumsum(seg_counts.astype(np.int64) * seg_elems)
-        out = np.zeros((int(seg_counts.sum()), f_dim, t_dim), dtype=np.float32)
+        out = np.zeros((int(seg_counts.sum()), f_dim, t_dim), dtype=dtype)
         ok = native_pack.pack_files_flat(
             [str(p) for p in self.filepaths], out, offsets, self.mean, self.std
         )
@@ -111,8 +112,8 @@ class MetaAudioDataset:
         from audio_few_shot_learning_tpu.data.store import resolve_store_dtype
 
         dtype = resolve_store_dtype(dtype)
-        if use_native and self.input_type == "spec" and dtype == np.float32:
-            store = self._to_packed_store_native(device=device)
+        if use_native and self.input_type == "spec":
+            store = self._to_packed_store_native(device=device, dtype=dtype)
             if store is not None:
                 return store
         items = [np.load(p, allow_pickle=True) for p in self.filepaths]

@@ -77,6 +77,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_float,
                 ctypes.c_int,
             ]
+            lib.afsl_pack_bf16_var.restype = ctypes.c_int64
+            lib.afsl_pack_bf16_var.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -139,19 +149,30 @@ def pack_files_flat(
     threads: int = 8,
 ) -> bool:
     """Flat/ragged pack: file i writes its payload at out.ravel()[offsets[i]:
-    offsets[i+1]] (offsets has len(paths)+1 entries, in ELEMENTS)."""
+    offsets[i+1]] (offsets has len(paths)+1 entries, in ELEMENTS).
+
+    ``out`` may be float32 or bfloat16 (ml_dtypes); bf16 converts in C++ with
+    round-to-nearest-even, bit-identical to ``np.asarray(x, bfloat16)``."""
+    import ml_dtypes
+
     lib = get_lib()
-    if lib is None or out.dtype != np.float32 or not out.flags.c_contiguous:
+    if lib is None or not out.flags.c_contiguous:
+        return False
+    if out.dtype == np.float32:
+        entry, ptr_t = lib.afsl_pack_f32_var, ctypes.POINTER(ctypes.c_float)
+    elif out.dtype == ml_dtypes.bfloat16:
+        entry, ptr_t = lib.afsl_pack_bf16_var, ctypes.POINTER(ctypes.c_uint16)
+    else:
         return False
     n = len(paths)
     offs = np.ascontiguousarray(offsets_elems, dtype=np.int64)
     if offs.shape[0] != n + 1:
         return False
     arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
-    failures = lib.afsl_pack_f32_var(
+    failures = entry(
         arr,
         n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ptr_t),
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_float(mean),
         ctypes.c_float(1.0 / std if std else 1.0),

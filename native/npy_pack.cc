@@ -103,10 +103,34 @@ NpyInfo parse_header(FILE* f) {
   return info;
 }
 
-// Read one file's payload into out (float32), normalized. Returns elems read
-// or -1 on failure.
-int64_t load_one(const char* path, float* out, int64_t capacity, float mean,
-                 float inv_std) {
+// float -> bfloat16 with round-to-nearest-even (matches ml_dtypes/XLA).
+inline uint16_t f32_to_bf16(float v) {
+  uint32_t x;
+  memcpy(&x, &v, 4);
+  if ((x & 0x7FFFFFFFu) > 0x7F800000u) {  // NaN: keep quiet, don't round to Inf
+    return (uint16_t)((x >> 16) | 0x0040u);
+  }
+  x += 0x7FFFu + ((x >> 16) & 1u);  // round-to-nearest-even on bit 16
+  return (uint16_t)(x >> 16);
+}
+
+struct WriteF32 {
+  void operator()(float* out, int64_t i, float v) const { out[i] = v; }
+  using Out = float;
+};
+struct WriteBF16 {
+  void operator()(uint16_t* out, int64_t i, float v) const {
+    out[i] = f32_to_bf16(v);
+  }
+  using Out = uint16_t;
+};
+
+// Read one file's payload into out, normalized and converted by Writer.
+// Returns elems read or -1 on failure.
+template <typename Writer>
+int64_t load_one(const char* path, typename Writer::Out* out, int64_t capacity,
+                 float mean, float inv_std) {
+  Writer write;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   NpyInfo info = parse_header(f);
@@ -123,7 +147,8 @@ int64_t load_one(const char* path, float* out, int64_t capacity, float mean,
       size_t want = (size_t)std::min<int64_t>(kChunk, info.elems - done);
       size_t got = fread(buf.data(), 4, want, f);
       if (got == 0) break;
-      for (size_t i = 0; i < got; ++i) out[done + i] = (buf[i] - mean) * inv_std;
+      for (size_t i = 0; i < got; ++i)
+        write(out, done + i, (buf[i] - mean) * inv_std);
       done += (int64_t)got;
     }
   } else {
@@ -133,12 +158,37 @@ int64_t load_one(const char* path, float* out, int64_t capacity, float mean,
       size_t got = fread(buf.data(), 8, want, f);
       if (got == 0) break;
       for (size_t i = 0; i < got; ++i)
-        out[done + i] = (float)((buf[i] - mean) * inv_std);
+        write(out, done + i, (float)((buf[i] - mean) * inv_std));
       done += (int64_t)got;
     }
   }
   fclose(f);
   return done == info.elems ? done : -1;
+}
+
+// Shared flat/ragged pack loop: file i writes at out + offsets_elems[i] with
+// capacity offsets_elems[i+1] - offsets_elems[i]. Returns failed-file count.
+template <typename Writer>
+int64_t pack_var(const char** paths, int64_t n, typename Writer::Out* out,
+                 const int64_t* offsets_elems, float mean, float inv_std,
+                 int threads) {
+  if (threads < 1) threads = 1;
+  std::atomic<int64_t> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int64_t cap = offsets_elems[i + 1] - offsets_elems[i];
+      if (load_one<Writer>(paths[i], out + offsets_elems[i], cap, mean,
+                           inv_std) < 0)
+        failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return failures.load();
 }
 
 }  // namespace
@@ -170,8 +220,8 @@ int64_t afsl_pack_f32(const char** paths, int64_t n, float* out,
     for (;;) {
       int64_t i = next.fetch_add(1);
       if (i >= n) return;
-      if (load_one(paths[i], out + i * stride_elems, stride_elems, mean,
-                   inv_std) < 0)
+      if (load_one<WriteF32>(paths[i], out + i * stride_elems, stride_elems,
+                             mean, inv_std) < 0)
         failures.fetch_add(1);
     }
   };
@@ -188,22 +238,18 @@ int64_t afsl_pack_f32(const char** paths, int64_t n, float* out,
 int64_t afsl_pack_f32_var(const char** paths, int64_t n, float* out,
                           const int64_t* offsets_elems, float mean,
                           float inv_std, int threads) {
-  if (threads < 1) threads = 1;
-  std::atomic<int64_t> next(0), failures(0);
-  auto worker = [&]() {
-    for (;;) {
-      int64_t i = next.fetch_add(1);
-      if (i >= n) return;
-      int64_t cap = offsets_elems[i + 1] - offsets_elems[i];
-      if (load_one(paths[i], out + offsets_elems[i], cap, mean, inv_std) < 0)
-        failures.fetch_add(1);
-    }
-  };
-  std::vector<std::thread> pool;
-  for (int t = 0; t < threads - 1; ++t) pool.emplace_back(worker);
-  worker();
-  for (auto& th : pool) th.join();
-  return failures.load();
+  return pack_var<WriteF32>(paths, n, out, offsets_elems, mean, inv_std,
+                            threads);
+}
+
+// bfloat16 flat/ragged variant (round-to-nearest-even, matching ml_dtypes):
+// the tpu.store_dtype='bfloat16' option for NSynth-scale splits, where both
+// the halved HBM footprint and packer speed matter most.
+int64_t afsl_pack_bf16_var(const char** paths, int64_t n, uint16_t* out,
+                           const int64_t* offsets_elems, float mean,
+                           float inv_std, int threads) {
+  return pack_var<WriteBF16>(paths, n, out, offsets_elems, mean, inv_std,
+                             threads);
 }
 
 }  // extern "C"
