@@ -83,6 +83,12 @@ class MetaAudioDataset:
 
         if self.input_type != "spec" or not native_pack.native_available():
             return None
+        import ml_dtypes
+
+        if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(ml_dtypes.bfloat16)):
+            # unsupported store dtype: bail BEFORE probing every file and
+            # allocating the full-store buffer pack_files_flat would reject
+            return None
         probes = [native_pack.probe(p) for p in self.filepaths]
         if any(p is None for p in probes):
             return None

@@ -90,7 +90,12 @@ class PackedWavStore:
         for i, w in enumerate(waveforms):
             w = np.asarray(w, dtype=np.float32)
             packed[i, : w.shape[0]] = w
-            if 0 < w.shape[0] < seg_len:
+            if w.shape[0] == 0:
+                # degenerate empty item: its own silent row (defaulting to
+                # tail_index 0 would alias another short item's audio)
+                tail_index[i] = len(tail_rows)
+                tail_rows.append(np.zeros(seg_len, dtype=np.float32))
+            elif w.shape[0] < seg_len:
                 reps = -(-seg_len // w.shape[0])  # ceil
                 tail_index[i] = len(tail_rows)
                 tail_rows.append(np.tile(w, reps)[:seg_len])

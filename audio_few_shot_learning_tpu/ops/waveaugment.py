@@ -18,8 +18,9 @@ slices, elementwise math, FFTs, or small matmuls):
   * pitch shift / time stretch are linear-interpolation resamples in blocked
     form: contiguous dynamic_slice windows × two-tap interpolation matrices
     on the MXU (see ``_resample_to_length``);
-  * shift is a dynamic_slice of the doubled signal; splice-out deletes merged
-    disjoint intervals highest-first with slice+select passes;
+  * shift is a dynamic_slice of the doubled signal; splice-out compacts the
+    kept regions in ONE pass — a select among N+1 contiguous shifted copies,
+    scanned row-at-a-time so XLA emits scalar-start slices (``splice_out``);
   * colored noise is spectrally shaped white noise (f^(-decay/2)) scaled to a
     target SNR.
 All transforms are static-shape, jit- and vmap-friendly ([B, L] batches).

@@ -26,13 +26,13 @@ from flax import linen as nn
 
 
 def timeit(fn, *args, iters=50, warmup=5):
+    # host readback (float(...)) in BOTH loops: through the tunnel,
+    # block_until_ready can return before execution (repo CLAUDE.md)
     for _ in range(warmup):
-        out = fn(*args)
-        jnp.sum(out[0] if isinstance(out, tuple) else out).block_until_ready()
+        float(jnp.sum(fn(*args).astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jnp.sum(out[0] if isinstance(out, tuple) else out).block_until_ready()
+        float(jnp.sum(fn(*args).astype(jnp.float32)))
     return (time.perf_counter() - t0) / iters
 
 

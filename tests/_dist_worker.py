@@ -16,7 +16,12 @@ import sys
 pid = int(sys.argv[1])
 port = sys.argv[2]
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from audio_few_shot_learning_tpu.utils.xla_flags import merge_xla_flags  # noqa: E402
+
+# fresh spawned process: own the full flag set (2 local virtual devices)
+os.environ["XLA_FLAGS"] = merge_xla_flags("", device_count=2)
 os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
 os.environ["JAX_NUM_PROCESSES"] = "2"
 os.environ["JAX_PROCESS_ID"] = str(pid)
@@ -24,8 +29,6 @@ os.environ["JAX_PROCESS_ID"] = str(pid)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -9,22 +9,17 @@ so tests must override via ``jax.config`` before any backend initializes
 import os
 import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "collective_call_terminate_timeout" not in flags:
-    # XLA:CPU in-process collectives hard-abort when the 8 time-sliced device
-    # threads miss a 40 s rendezvous window; on this contended 1-core box a
-    # straggler can blow that. 600 s buys ~15x margin (same fix as
-    # __graft_entry__.dryrun_multichip, verified with a deliberate straggler).
-    flags += (
-        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
-        " --xla_cpu_collective_timeout_seconds=600"
-    )
-os.environ["XLA_FLAGS"] = flags
-os.environ["AFSL_FORCE_PALLAS"] = "0"
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from audio_few_shot_learning_tpu.utils.xla_flags import merge_xla_flags  # noqa: E402
+
+# 8-device virtual mesh + 600 s collective rendezvous timeout (XLA:CPU
+# hard-aborts a missed 40 s rendezvous; a straggler on this contended 1-core
+# box can blow that). Caller-set device counts / timeouts are respected.
+os.environ["XLA_FLAGS"] = merge_xla_flags(
+    os.environ.get("XLA_FLAGS", ""), device_count=8, collective_timeout_seconds=600
+)
+os.environ["AFSL_FORCE_PALLAS"] = "0"
 
 import jax  # noqa: E402
 

@@ -51,6 +51,24 @@ def test_wavstore_segment_extraction_semantics():
     assert store.tails.shape == (1, L)
 
 
+def test_wavstore_empty_item_extracts_silence():
+    """A zero-length waveform must extract silence, not alias another short
+    item's tail row (tail_index defaults to 0; packing previously skipped
+    empty items, leaving them pointed at the first short item's audio)."""
+    rng = np.random.default_rng(5)
+    empty = np.zeros(0, np.float32)
+    short = rng.standard_normal(600).astype(np.float32)
+    full = rng.standard_normal(SR).astype(np.float32)
+    store = PackedWavStore.pack(
+        [empty, short, full], [0, 1, 2], n_classes=3, multi_segm=True, segment_seconds=1
+    )
+    got = np.asarray(store.extract_segment(0, 0))
+    np.testing.assert_array_equal(got, np.zeros(SR, np.float32))
+    # the real short item still gets its tiled tail
+    want = np.tile(short, int(np.ceil(SR / 600)))[:SR]
+    np.testing.assert_allclose(np.asarray(store.extract_segment(1, 0)), want, atol=1e-6)
+
+
 def test_wavstore_no_tail_rows_when_all_full_length():
     """All-full-length store keeps a single placeholder tail row, not a
     second copy of the packed waveforms."""
