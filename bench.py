@@ -294,10 +294,32 @@ def main():
     wav path, roofline) lives behind --full and prints the headline line
     FIRST, before any matrix work, so a timeout can never erase the number
     (this is what turned BENCH_r01 into rc=124/parsed=null)."""
+    import os
+    import threading
+
+    # Fail fast if the TPU tunnel is dead: backend init through a hung tunnel
+    # blocks forever (observed 2026-08-17: >4 h outage, jax.devices() never
+    # returns), which would burn the whole driver budget and record rc=124
+    # with no diagnostic. A watchdog turns that into a quick, explicit error.
+    def _backend_hung():
+        sys.stderr.write(
+            "bench.py: backend init did not complete within 420 s — the TPU "
+            "tunnel is likely down (environment outage, not a code failure). "
+            "Retry when `python -c 'import jax; jax.devices()'` returns.\n"
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    watchdog = threading.Timer(420, _backend_hung)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
 
     full = "--full" in sys.argv  # --quick retained as a no-op alias
     backend = jax.default_backend()
+    jax.block_until_ready(jax.numpy.zeros(8) + 1)  # force real device init
+    watchdog.cancel()
 
     baseline_eps = bench_torch_reference(n_episodes=2 if not full else 6)
 
