@@ -39,8 +39,52 @@ def _build() -> bool:
         return False
 
 
+def _load() -> ctypes.CDLL:
+    """CDLL + symbol resolution; raises on missing symbols (stale .so)."""
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.afsl_npy_probe.restype = ctypes.c_int64
+    lib.afsl_npy_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.afsl_pack_f32.restype = ctypes.c_int64
+    lib.afsl_pack_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int,
+    ]
+    lib.afsl_pack_f32_var.restype = ctypes.c_int64
+    lib.afsl_pack_f32_var.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int,
+    ]
+    lib.afsl_pack_bf16_var.restype = ctypes.c_int64
+    lib.afsl_pack_bf16_var.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int,
+    ]
+    return lib
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    A prebuilt .so that fails to load or lacks a symbol (e.g. a copied build
+    dir whose mtime defeats the staleness check — advisor round-2 finding) is
+    deleted and rebuilt once from source before the native path is declared
+    unavailable, so a stale binary can't silently disable the fast path.
+    """
     global _lib, _lib_failed
     with _lock:
         if _lib is not None or _lib_failed:
@@ -54,42 +98,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _lib_failed = True
             return None
         try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-            lib.afsl_npy_probe.restype = ctypes.c_int64
-            lib.afsl_npy_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
-            lib.afsl_pack_f32.restype = ctypes.c_int64
-            lib.afsl_pack_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64,
-                ctypes.c_float,
-                ctypes.c_float,
-                ctypes.c_int,
-            ]
-            lib.afsl_pack_f32_var.restype = ctypes.c_int64
-            lib.afsl_pack_f32_var.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.c_float,
-                ctypes.c_float,
-                ctypes.c_int,
-            ]
-            lib.afsl_pack_bf16_var.restype = ctypes.c_int64
-            lib.afsl_pack_bf16_var.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint16),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.c_float,
-                ctypes.c_float,
-                ctypes.c_int,
-            ]
-            _lib = lib
+            _lib = _load()
         except Exception:
-            _lib_failed = True
+            try:
+                _LIB_PATH.unlink()
+            except OSError:
+                pass
+            if _SRC.exists() and _build():
+                try:
+                    _lib = _load()
+                except Exception:
+                    _lib_failed = True
+            else:
+                _lib_failed = True
         return _lib
 
 
