@@ -30,15 +30,24 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from audio_few_shot_learning_tpu.config import load_configs
+
+    exp, mdl = load_configs(args.experiment_config, args.model_config)
+
+    # Honor the config's `device` key (reference semantics: 'cpu' or
+    # 'cuda:<n>', src/train_test.py:40-45) BEFORE any backend init: a 'cpu'
+    # run must not touch the TPU plugin at all (whose init hangs hard when
+    # the tunnel is down). Any non-cpu value keeps the default backend.
+    if exp.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     # Multi-host (DCN) launch detection must precede any backend query; a
     # single-host run is a no-op here (parallel/mesh.py).
     from audio_few_shot_learning_tpu.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-
-    from audio_few_shot_learning_tpu.config import load_configs
-
-    exp, mdl = load_configs(args.experiment_config, args.model_config)
     if args.data_root:
         import dataclasses
 
