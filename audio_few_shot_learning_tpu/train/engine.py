@@ -174,23 +174,64 @@ class Trainer:
         )(specs, keys)  # [E, B, 4, F, T]
         return views
 
-    def _make_wav_views(
-        self, wavs: jnp.ndarray, key: jax.Array, enabled: bool, store
-    ) -> jnp.ndarray:
-        """[E, B, L] waveforms -> [E, B, V, F, T] normalized log-mel views:
-        augment (per-episode draws) -> online mel -> glob z-norm
-        (batch_creation.py:123-143)."""
-        e, b, l = wavs.shape
-        if enabled:
-            keys = jax.random.split(key, e)
-            views = jax.vmap(lambda w, k: self.waveaugment(w, k))(wavs, keys)  # [E,B,V,L]
+    def _make_wav_views_pair(
+        self,
+        sup: jnp.ndarray,
+        qry: jnp.ndarray,
+        key_s: jax.Array,
+        key_q: jax.Array,
+        aug_q: bool,
+        store,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Support and query wav views through ONE batched pipeline:
+        augment (per-example draws) -> online mel -> glob z-norm
+        (reference behavior: batch_creation.py:123-143).
+
+        When both groups are augmented the WaveAugment chain (all its
+        FFT/resample dispatches) runs once over the concatenated [E, S+Q, L]
+        rows; the online mel + z-norm always runs as one dispatch over every
+        view row of both groups. Every random draw in the chain is
+        per-example, so the combined batch is draw-for-draw distributionally
+        identical to two separate calls (VERDICT r02 item 2: batch the
+        per-view FFTs across support/query)."""
+        e, s, l = sup.shape
+        q = qry.shape[1]
+        aug_s = self.waveaug
+        if aug_s == aug_q:
+            # one chain application (or none) over support and query together
+            combined = jnp.concatenate([sup, qry], axis=1)  # [E, S+Q, L]
+            if aug_s:
+                keys = jax.random.split(key_s, e)
+                views = jax.vmap(lambda w, k: self.waveaugment(w, k))(combined, keys)
+            else:
+                views = combined[:, :, None]
+            v = views.shape[2]
+            flat = views.reshape(e * (s + q) * v, l)
+            sizes = (s * v, q * v)
         else:
-            views = wavs[:, :, None]
-        v = views.shape[2]
-        mels = self.mel(views.reshape(e * b * v, l))  # [., F, T]
+            # differing view counts: separate augmentation, shared mel
+            if aug_s:
+                keys = jax.random.split(key_s, e)
+                sup_v = jax.vmap(lambda w, k: self.waveaugment(w, k))(sup, keys)
+            else:
+                sup_v = sup[:, :, None]
+            if aug_q:
+                keys = jax.random.split(key_q, e)
+                qry_v = jax.vmap(lambda w, k: self.waveaugment(w, k))(qry, keys)
+            else:
+                qry_v = qry[:, :, None]
+            vs, vq_ = sup_v.shape[2], qry_v.shape[2]
+            flat = jnp.concatenate(
+                [sup_v.reshape(e, s * vs, l), qry_v.reshape(e, q * vq_, l)], axis=1
+            ).reshape(-1, l)
+            sizes = (s * vs, q * vq_)
+        mels = self.mel(flat)  # [., F, T]
         mels = (mels - store.mean) / store.std
         f, t = mels.shape[-2:]
-        return mels.reshape(e, b, v, f, t)
+        per_ep = mels.reshape(e, sizes[0] + sizes[1], f, t)
+        sup_views = per_ep[:, : sizes[0]].reshape(e, s, sizes[0] // s, f, t)
+        qry_views = per_ep[:, sizes[0] :].reshape(e, q, sizes[1] // q, f, t)
+        return sup_views, qry_views
 
     # ------------------------------------------------------------------
     # train step / epoch
@@ -202,8 +243,9 @@ class Trainer:
         k_aug_s, k_aug_q, k_drop, k_perm, k_cpl = jax.random.split(key, 5)
 
         if self.is_wav:
-            sup_views = self._make_wav_views(ep.support, k_aug_s, self.waveaug, store)
-            qry_views = self._make_wav_views(ep.query, k_aug_q, vq > 1, store)
+            sup_views, qry_views = self._make_wav_views_pair(
+                ep.support, ep.query, k_aug_s, k_aug_q, vq > 1, store
+            )
         else:
             sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
             qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
@@ -392,8 +434,9 @@ class Trainer:
         ep = self._shard_episodes(ep)
 
         if self.is_wav:
-            sup_views = self._make_wav_views(ep.support, k_aug_s, self.waveaug, store)
-            qry_views = self._make_wav_views(ep.query, k_aug_q, vq > 1, store)
+            sup_views, qry_views = self._make_wav_views_pair(
+                ep.support, ep.query, k_aug_s, k_aug_q, vq > 1, store
+            )
         else:
             sup_views = self._make_views(ep.support, k_aug_s, self.specaug)
             qry_views = self._make_views(ep.query, k_aug_q, vq > 1)
@@ -452,6 +495,12 @@ class Trainer:
                 mem_ratio = float(limit) / anchor_bytes
         except Exception:
             pass
+        # The linear model ignores model/optimizer residency (the anchor's
+        # OOM margin is <3x), so when extrapolating to a larger-HBM device
+        # only credit 70% of the extra memory (advisor round-2 finding);
+        # tpu.eval_segment_budget remains the explicit escape hatch.
+        if mem_ratio > 1.0:
+            mem_ratio = 1.0 + 0.7 * (mem_ratio - 1.0)
         return max(1, int(anchor * mem_ratio * anchor_feat / max(feat, 1)))
 
     def evaluate(
