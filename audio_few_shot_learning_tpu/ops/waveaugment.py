@@ -171,6 +171,7 @@ def noise_highpass_bandstop(
     min_snr_db, max_snr_db, min_f_decay, max_f_decay,
     min_cut, max_cut, min_center, max_center, min_bw_frac, max_bw_frac,
     p_noise, p_hp, p_bs, sr=SAMPLE_RATE,
+    key_lp=None, lp_min_cut=0.0, lp_max_cut=0.0, p_lp=0.0,
 ):
     """Fused AddColoredNoise -> HighPass -> BandStop (adjacent in the
     reference chain, utils/augmentations.py:311-366) sharing ONE rfft/irfft
@@ -219,6 +220,16 @@ def noise_highpass_bandstop(
         any_applied = any_applied | n_applied
 
     mask = jnp.ones((1, 1))
+    if p_lp > 0:
+        # opt-in `fuse_lowpass` deviation: LowPass joins the shared-spectrum
+        # group instead of opening the chain with its own rfft/irfft pair
+        # (reference order gain->noise->hp->bs with lowpass FIRST,
+        # utils/augmentations.py:279-376 — documented reorder, PARITY.md)
+        k1, k2 = jax.random.split(key_lp)
+        lp_cut = jax.random.uniform(k1, (b, 1), minval=lp_min_cut, maxval=lp_max_cut)
+        lp_applied = _per_example(k2, b, p_lp)
+        mask = mask * jnp.where(lp_applied[:, None], 1.0 - _soft_edge(f, lp_cut), 1.0)
+        any_applied = any_applied | lp_applied
     if p_hp > 0:
         k1, k2 = jax.random.split(key_hp)
         cut = jax.random.uniform(k1, (b, 1), minval=min_cut, maxval=max_cut)
@@ -313,6 +324,70 @@ def pitch_shift(x, key, min_semitones, max_semitones, p):
     return _mix(
         _per_example(k2, b, p), _resample_to_length(x, rate, l, max_rate), x
     )
+
+
+def _pv_shift_row(x_row, f, f_upper: float, n_fft: int = 1024, hop: int = 256):
+    """Duration-preserving pitch shift of one row by factor ``f``:
+    phase-vocoder time-stretch by f (duration L*f, pitch kept) composed with
+    a rate-f linear resample back to L (pitch *f, duration L). The composite
+    emulates torch_audiomentations' PitchShift (torch_pitch_shift:
+    stretch+resample) that the default clip/zero-pad ``pitch_shift``
+    deviates from (PARITY.md). A/B oracle arm — written for correctness,
+    not TPU throughput.
+
+    ``f_upper`` statically bounds f (sizes the stretched-domain buffers).
+    """
+    l = x_row.shape[0]
+    k_bins = n_fft // 2 + 1
+    win = jnp.asarray(
+        (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(np.float32)
+    )
+    t_frames = 1 + (l - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(t_frames)[:, None]
+    frames = x_row[idx] * win
+    spec = jnp.fft.rfft(frames, axis=-1)  # [T, K]
+    mag, ph = jnp.abs(spec), jnp.angle(spec)
+    omega = (2.0 * np.pi * hop / n_fft) * np.arange(k_bins)  # expected hop advance
+
+    out_t = int(np.ceil((t_frames - 1) * f_upper)) + 1
+    t = jnp.arange(out_t) / f  # analysis positions in input frames
+    t0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, t_frames - 2)
+    frac = jnp.clip(t - t0, 0.0, 1.0)[:, None]
+    mag_i = (1.0 - frac) * mag[t0] + frac * mag[t0 + 1]
+    dphi = ph[t0 + 1] - ph[t0] - omega[None, :]
+    dphi = dphi - 2.0 * np.pi * jnp.round(dphi / (2.0 * np.pi))  # principal value
+    advance = dphi + omega[None, :]  # true per-hop phase advance around t0
+    acc = ph[t0[0]][None, :] + jnp.concatenate(
+        [jnp.zeros((1, k_bins)), jnp.cumsum(advance[:-1], axis=0)], axis=0
+    )
+    y_frames = jnp.fft.irfft(mag_i * jnp.exp(1j * acc), n=n_fft, axis=-1) * win
+
+    # overlap-add (positions are static -> scatter-add with static indices)
+    tail_pad = int(np.ceil(n_fft * f_upper)) + 1
+    buf_len = (out_t - 1) * hop + n_fft + tail_pad
+    pos = (hop * np.arange(out_t)[:, None] + np.arange(n_fft)[None, :]).ravel()
+    buf = jnp.zeros(buf_len, jnp.float32).at[pos].add(y_frames.ravel())
+    wsum = np.zeros(buf_len, np.float32)
+    np.add.at(wsum, pos, np.tile(np.asarray(win) ** 2, out_t))
+    buf = buf / np.maximum(wsum, 1e-8)
+
+    # read back at rate f: duration L, pitch scaled by f
+    rp = jnp.arange(l) * f
+    r0 = jnp.clip(jnp.floor(rp).astype(jnp.int32), 0, buf_len - 2)
+    fr = rp - r0
+    return (1.0 - fr) * buf[r0] + fr * buf[r0 + 1]
+
+
+def pitch_shift_pv(x, key, min_semitones, max_semitones, p):
+    """Duration-preserving pitch shift (``pitchshift_mode: "pv"``) — the A/B
+    counterpart of the default resample ``pitch_shift``; same draw structure."""
+    b, l = x.shape
+    k1, k2 = jax.random.split(key)
+    st = jax.random.uniform(k1, (b,), minval=min_semitones, maxval=max_semitones)
+    rate = 2.0 ** (st / 12.0)
+    f_upper = 2.0 ** (max(abs(min_semitones), abs(max_semitones)) / 12.0)
+    y = jax.vmap(lambda r, fi: _pv_shift_row(r, fi, f_upper))(x, rate)
+    return _mix(_per_example(k2, b, p), y.astype(x.dtype), x)
 
 
 def time_stretch(x, key, min_ratio, max_ratio, p):
@@ -431,10 +506,27 @@ class WaveAugment:
         def prob(name, default):
             return float(p.get(name, default))
 
-        if prob("lowpass_p", 0.5) > 0:
-            x = lowpass(x, ks[0], centroid, centroid + bandwidth / 2, prob("lowpass_p", 0.5), self.sr)
+        p_lp = prob("lowpass_p", 0.5)
+        p_noise = prob("noise_p", 0.5)
+        p_hp, p_bs = prob("highpass_p", 0.3), prob("bandstop_p", 0.5)
+        # Opt-in perf deviation (default off): fold LowPass into the shared
+        # noise/highpass/bandstop spectrum group, saving its dedicated
+        # rfft/irfft pair (~9.3 ms/episode measured). Changes transform ORDER
+        # vs the reference (lowpass then applies after pitchshift/shift/gain,
+        # and the noise SNR references the un-lowpassed signal) — see
+        # PARITY.md deviations.
+        fuse_lp = (
+            bool(p.get("fuse_lowpass", False))
+            and p_lp > 0
+            and (p_noise > 0 or p_hp > 0 or p_bs > 0)
+        )
+        if p_lp > 0 and not fuse_lp:
+            x = lowpass(x, ks[0], centroid, centroid + bandwidth / 2, p_lp, self.sr)
         if prob("pitchshift_p", 0.5) > 0:
-            x = pitch_shift(
+            # "resample" (default): clip/zero-pad resample (fast, documented
+            # deviation); "pv": duration-preserving phase-vocoder A/B arm
+            ps_fn = pitch_shift_pv if p.get("pitchshift_mode", "resample") == "pv" else pitch_shift
+            x = ps_fn(
                 x,
                 ks[1],
                 p.get("pitchshift_min_transpose_semitones", -4),
@@ -449,9 +541,7 @@ class WaveAugment:
             x = time_inversion(x, ks[3], prob("timeinversion_p", 0.0))
         if prob("gain_p", 0.5) > 0:
             x = gain(x, ks[4], p.get("min_gain_in_db", -6), p.get("max_gain_in_db", 6), prob("gain_p", 0.5))
-        p_noise = prob("noise_p", 0.5)
-        p_hp, p_bs = prob("highpass_p", 0.3), prob("bandstop_p", 0.5)
-        if (p_noise > 0) + (p_hp > 0) + (p_bs > 0) >= 2:
+        if fuse_lp or (p_noise > 0) + (p_hp > 0) + (p_bs > 0) >= 2:
             # adjacent spectrum-domain transforms share one rfft/irfft pair;
             # statically-zero members are traced out inside
             x = noise_highpass_bandstop(
@@ -464,6 +554,10 @@ class WaveAugment:
                 p.get("bandstop_min_bandwidth_fraction", 0.5),
                 p.get("bandstop_max_bandwidth_fraction", 1.0),
                 p_noise, p_hp, p_bs, self.sr,
+                key_lp=ks[0],
+                lp_min_cut=centroid,
+                lp_max_cut=centroid + bandwidth / 2,
+                p_lp=p_lp if fuse_lp else 0.0,
             )
         elif p_noise > 0:
             x = add_colored_noise(

@@ -279,3 +279,105 @@ def test_batched_copies_are_independent():
         for i in range(1, 4) for j in range(i + 1, 4)
     ]
     assert all(d > 1e-4 for d in diffs), diffs  # copies differ pairwise
+
+
+def test_fuse_lowpass_matches_sequential_filters_only(rng):
+    """Opt-in fuse_lowpass: with ONLY lowpass + highpass enabled, folding the
+    lowpass into the shared-spectrum group must reproduce the sequential
+    chain (lowpass then highpass) up to one extra f32 FFT roundtrip — the
+    masks commute and both paths see identical random draws."""
+    base = {
+        "use": True, "aug_num": 1,
+        "lowpass_p": 0.7, "highpass_p": 0.6,
+        "noise_p": 0.0, "bandstop_p": 0.0, "gain_p": 0.0,
+        "pitchshift_p": 0.0, "shift_p": 0.0, "timeinversion_p": 0.0,
+        "spliceout_p": 0.0, "timestretch_p": 0.0, "timemasking_p": 0.0,
+    }
+    nprng = np.random.default_rng(4)
+    x = jnp.asarray(nprng.standard_normal((8, L)).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+    seq = WaveAugment(WaveAugParams.from_dict(base), dataset_name="ESC-50-master")
+    fus = WaveAugment(
+        WaveAugParams.from_dict({**base, "fuse_lowpass": True}),
+        dataset_name="ESC-50-master",
+    )
+    a = np.asarray(seq.apply_once(x, key))
+    b = np.asarray(fus.apply_once(x, key))
+    assert not np.allclose(a, np.asarray(x))  # something actually applied
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_fuse_lowpass_full_chain_runs():
+    """fuse_lowpass with the full flagship-style chain: right shapes, finite,
+    original view untouched, augmented copies actually modified. (Fused-
+    lowpass numerical equivalence is pinned by the filters-only test above —
+    here the added colored noise makes spectral assertions meaningless.)"""
+    cfg = {
+        "use": True, "aug_num": 2, "fuse_lowpass": True,
+        "min_gain_in_db": -6, "max_gain_in_db": 6, "gain_p": 0.5,
+        "min_snr_in_db": 10, "max_snr_in_db": 25,
+        "noise_min_f_decay": -2, "noise_max_f_decay": 2, "noise_p": 0.5,
+        "bandstop_min_bandwidth_fraction": 0.5, "bandstop_max_bandwidth_fraction": 1,
+        "bandstop_p": 0.5, "highpass_p": 0.3, "lowpass_p": 1.0,
+        "pitchshift_p": 0.5, "shift_p": 0.5, "spliceout_p": 0.5,
+        "spliceout_num_time_intervals": 8, "spliceout_max_width": 400,
+        "timeinversion_p": 0, "timestretch_p": 0, "timemasking_p": 0.5,
+        "timemasking_masks": 5, "timemasking_mask_fraction": 0.01,
+    }
+    aug = WaveAugment(WaveAugParams.from_dict(cfg), dataset_name="ESC-50-master")
+    x = _tone(440, b=3)
+    out = jax.jit(lambda a, k: aug(a, k))(x, jax.random.PRNGKey(1))
+    assert out.shape == (3, 3, L)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x))
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out[:, 1]), np.asarray(x))
+
+
+def test_pitch_shift_pv_duration_preserving(rng):
+    """Phase-vocoder A/B arm (pitchshift_mode='pv'): +1 octave moves a 440 Hz
+    tone to ~880 Hz AND keeps the full duration energized — unlike the
+    default resample arm, whose sped-up read leaves a zero-padded tail."""
+    from audio_few_shot_learning_tpu.ops.waveaugment import pitch_shift_pv
+
+    x = _tone(440)
+    y = np.asarray(pitch_shift_pv(x, rng, 12.0, 12.0, p=1.0))
+    assert y.shape == x.shape
+    f = np.fft.rfftfreq(L, 1 / SR)
+    peak = f[np.abs(np.fft.rfft(y[0] * np.hanning(L))).argmax()]
+    assert 850 < peak < 910, peak
+    # duration preserved: the tail still carries the tone (resample arm: ~0)
+    tail_rms = np.sqrt((y[:, int(0.8 * L): int(0.98 * L)] ** 2).mean())
+    head_rms = np.sqrt((y[:, int(0.1 * L): int(0.3 * L)] ** 2).mean())
+    assert tail_rms > 0.3 * head_rms, (tail_rms, head_rms)
+    y_rs = np.asarray(pitch_shift(x, rng, 12.0, 12.0, p=1.0))
+    rs_tail = np.sqrt((y_rs[:, int(0.8 * L): int(0.98 * L)] ** 2).mean())
+    assert rs_tail < 1e-5  # the deviation the PV arm removes
+
+
+def test_pitch_shift_pv_downshift(rng):
+    """-12 semitones: 880 -> ~440 Hz, full length, no blow-up."""
+    from audio_few_shot_learning_tpu.ops.waveaugment import pitch_shift_pv
+
+    x = _tone(880)
+    y = np.asarray(pitch_shift_pv(x, rng, -12.0, -12.0, p=1.0))
+    f = np.fft.rfftfreq(L, 1 / SR)
+    peak = f[np.abs(np.fft.rfft(y[0] * np.hanning(L))).argmax()]
+    assert 410 < peak < 470, peak
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() < 3.0
+
+
+def test_pitch_shift_pv_in_chain(rng):
+    """pitchshift_mode='pv' is honored by the WaveAugment chain."""
+    params = WaveAugParams.from_dict(
+        {"use": True, "aug_num": 1, "pitchshift_mode": "pv", "pitchshift_p": 1.0,
+         "pitchshift_min_transpose_semitones": 2, "pitchshift_max_transpose_semitones": 2,
+         "lowpass_p": 0, "gain_p": 0, "noise_p": 0, "highpass_p": 0, "bandstop_p": 0,
+         "shift_p": 0, "timeinversion_p": 0, "spliceout_p": 0, "timestretch_p": 0,
+         "timemasking_p": 0}
+    )
+    aug = WaveAugment(params, dataset_name="ESC-50-master")
+    x = _tone(440, b=2)
+    out = np.asarray(aug(x, jax.random.PRNGKey(0)))
+    assert out.shape == (2, 2, L)
+    assert not np.allclose(out[:, 1], np.asarray(x))
