@@ -152,6 +152,13 @@ class TPUConfig:
     store_dtype: str = "float32"
     seed: int = 0
     num_runs: int = 5  # reference hardcodes 5 repeated runs (src/train_test.py:103)
+    # A/B knob (scripts/ab_deviations.py): emulate the reference's BatchNorm
+    # batch-stat granularity — one stat group per (episode, view,
+    # support|query) pass (its per-view Python loop normalizes 25-item
+    # groups) instead of the fused E*V*(S+Q) batch. Training-dynamics
+    # emulation only; default off = fused batch (documented deviation,
+    # PARITY.md).
+    bn_per_view_group: bool = False
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TPUConfig":

@@ -21,10 +21,11 @@ dynamics track the reference.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from audio_few_shot_learning_tpu.config import CNNConfig, HybridConfig
@@ -66,13 +67,18 @@ class BandwidthBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, view_groups: Optional[Tuple[int, int, int, int]] = None
+    ) -> jnp.ndarray:
         feat = x.shape[-1]
         axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(feat, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(feat, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+
+        if train and view_groups is not None:
+            return self._grouped(x, view_groups, ra_mean, ra_var, scale, bias)
 
         if train:
             # f32 accumulation without materializing an f32 copy of x
@@ -95,6 +101,57 @@ class BandwidthBatchNorm(nn.Module):
         shift = (bias - mean * inv).astype(x.dtype)
         return x * inv_c + shift
 
+    def _grouped(self, x, view_groups, ra_mean, ra_var, scale, bias):
+        """Per-(episode, view, support|query) batch statistics — emulates the
+        reference's BN granularity, whose per-view Python loop feeds the
+        backbone ~25-item groups (models/main_modules.py:18-23 via
+        few_shot_classifier.py:64-76) instead of one fused batch.
+
+        Rows arrive support-block-first in (episode, item, view) order
+        (protonets.py flat layout); each group normalizes with its OWN
+        mean/var. Running stats update once per step with the average of the
+        group statistics (the reference updates sequentially per group with
+        momentum — averaged here; same fixed point, slightly different
+        transient, acceptable for the training-dynamics A/B this emulates).
+        """
+        s, vs, q, vq = view_groups
+        b = x.shape[0]
+        feat = x.shape[-1]
+        per = s * vs + q * vq
+        e = b // per
+        if e * per != b:
+            raise ValueError(f"batch {b} incompatible with view_groups {view_groups}")
+        spatial = int(np.prod(x.shape[1:-1])) if x.ndim > 2 else 1
+        xf = x.astype(jnp.float32)
+
+        def stats(part, items, views):
+            g = part.reshape(e, items, views, spatial, feat)
+            m = g.mean(axis=(1, 3))  # [e, views, feat]
+            v = jnp.maximum(jnp.square(g).mean(axis=(1, 3)) - jnp.square(m), 0.0)
+            return m, v
+
+        sup_m, sup_v = stats(xf[: e * s * vs], s, vs)
+        qry_m, qry_v = stats(xf[e * s * vs :], q, vq)
+
+        def rows(m, items, views):
+            return jnp.broadcast_to(m[:, None], (e, items, views, feat)).reshape(-1, feat)
+
+        mean_rows = jnp.concatenate([rows(sup_m, s, vs), rows(qry_m, q, vq)])
+        var_rows = jnp.concatenate([rows(sup_v, s, vs), rows(qry_v, q, vq)])
+
+        if not self.is_initializing():
+            g_means = jnp.concatenate([sup_m.reshape(-1, feat), qry_m.reshape(-1, feat)])
+            n_sup, n_qry = s * spatial, q * spatial
+            unb = lambda v, n: v.reshape(-1, feat) * (n / max(n - 1, 1))
+            g_vars = jnp.concatenate([unb(sup_v, n_sup), unb(qry_v, n_qry)])
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * g_means.mean(0)
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * g_vars.mean(0)
+
+        bshape = (b,) + (1,) * (x.ndim - 2) + (feat,)
+        inv = (jax.lax.rsqrt(var_rows + self.epsilon) * scale).reshape(bshape)
+        shift = (bias - mean_rows.reshape(bshape) * inv).astype(x.dtype)
+        return x * inv.astype(x.dtype) + shift
+
 
 class ConvBlock(nn.Module):
     """conv3x3(same) -> BN -> maxpool(pool, stride=pool) -> ReLU (floor mode).
@@ -109,7 +166,9 @@ class ConvBlock(nn.Module):
     compute_dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, view_groups: Optional[Tuple[int, int, int, int]] = None
+    ) -> jnp.ndarray:
         in_feat = x.shape[-1]
         cd = jnp.dtype(self.compute_dtype)
         x = nn.Conv(
@@ -120,7 +179,7 @@ class ConvBlock(nn.Module):
             bias_init=_torch_bias_init(in_feat * 9),
             dtype=cd,
         )(x.astype(cd))
-        x = BandwidthBatchNorm()(x, train)
+        x = BandwidthBatchNorm()(x, train, view_groups)
         # torch MaxPool2d(kernel=pool, stride=pool): floor division of dims
         ph, pw = self.pool
         h = (x.shape[1] // ph) * ph
@@ -160,14 +219,16 @@ class ConvEncoder(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, view_groups: Optional[Tuple[int, int, int, int]] = None
+    ) -> jnp.ndarray:
         block_cls = (
-            nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
+            nn.remat(ConvBlock, static_argnums=(2, 3)) if self.remat else ConvBlock
         )
         for i in range(4):
             x = block_cls(
                 self.hidden_channels, self.pool, self.compute_dtype, name=f"block{i}"
-            )(x, train)
+            )(x, train, view_groups)
         return x
 
 
@@ -177,11 +238,20 @@ class _LogitsHead(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, view_groups: Optional[Tuple[int, int, int, int]] = None
+    ) -> jnp.ndarray:
         x = nn.Dropout(rate=0.3, deterministic=not train)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
-        )(x)
+        if view_groups is not None:
+            # A/B emulation: the reference's head BN1d also sees per-group
+            # batches. Must route through the SAME module at train and eval
+            # (consistent batch_stats), so the branch keys on view_groups —
+            # a static model-mode choice — not on `train`.
+            x = BandwidthBatchNorm(name="bn_grouped")(x, train, view_groups)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
+            )(x)
         x = nn.Dense(
             self.out_dim,
             kernel_init=_torch_dense_init,
@@ -199,13 +269,18 @@ class StandardCNN(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        view_groups: Optional[Tuple[int, int, int, int]] = None,
+    ) -> jnp.ndarray:
         x = x[..., None]  # NHWC, C=1 (cfg.in_channels==1 for all datasets)
         x = ConvEncoder(
             self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype, self.remat
-        )(x, train)
+        )(x, train, view_groups)
         x = x.reshape(x.shape[0], -1)
-        return _LogitsHead(self.cfg.out_dim)(x, train)
+        return _LogitsHead(self.cfg.out_dim)(x, train, view_groups)
 
 
 class StandardHybrid(nn.Module):
@@ -222,11 +297,16 @@ class StandardHybrid(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        view_groups: Optional[Tuple[int, int, int, int]] = None,
+    ) -> jnp.ndarray:
         x = x[..., None]
         x = ConvEncoder(
             self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype, self.remat
-        )(x, train)
+        )(x, train, view_groups)
         x = x.astype(jnp.float32)
         b, fp, tp, c = x.shape
         seq = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, tp, fp * c)
@@ -252,7 +332,7 @@ class StandardHybrid(nn.Module):
         else:
             seq_out = fwd + seq
         last = seq_out[:, -1, :]  # many_to_one: last timestep (main_modules.py:167-168,195)
-        return _LogitsHead(self.cfg.out_dim)(last, train)
+        return _LogitsHead(self.cfg.out_dim)(last, train, view_groups)
 
 
 def make_backbone(

@@ -133,7 +133,11 @@ class FewShotEpisodeModel(nn.Module):
             [support_views.reshape(e * s * vs, f, t), query_views.reshape(e * q * vq, f, t)],
             axis=0,
         )
-        feats = self.backbone(flat, train=train).astype(jnp.float32)
+        # A/B knob (tpu.bn_per_view_group): tell BatchNorm the (s, vs, q, vq)
+        # layout of the fused batch so it can emulate the reference's
+        # per-(episode, view, support|query) stat groups
+        view_groups = (s, vs, q, vq) if self.exp.tpu.bn_per_view_group else None
+        feats = self.backbone(flat, train=train, view_groups=view_groups).astype(jnp.float32)
         sup_f = feats[: e * s * vs].reshape(e, s, vs, -1)
         qry_f = feats[e * s * vs :].reshape(e, q, vq, -1)
         d = feats.shape[-1]

@@ -302,3 +302,79 @@ def test_scores_are_negative_distances(rng):
     np.testing.assert_allclose(np.diag(scores), 0.0, atol=1e-2)
     assert (scores <= 1e-5).all()
     assert np.argmax(scores, axis=1).tolist() == list(range(5))
+
+
+def test_grouped_batchnorm_matches_per_group_oracle():
+    """BandwidthBatchNorm's view_groups path (tpu.bn_per_view_group A/B):
+    each (episode, view, support|query) group must be normalized with the
+    stats of exactly the rows the reference's per-view loop would have fed
+    BatchNorm (main_modules.py:18-23 via few_shot_classifier.py:64-76)."""
+    from audio_few_shot_learning_tpu.models.encoders import BandwidthBatchNorm
+
+    e, s, vs, q, vq, hw, c = 2, 3, 2, 4, 2, 5, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((e * s * vs + e * q * vq, hw, hw, c)), jnp.float32)
+    mod = BandwidthBatchNorm()
+    variables = mod.init(jax.random.PRNGKey(0), x, True)
+    got, updates = mod.apply(
+        variables, x, True, (s, vs, q, vq), mutable=["batch_stats"]
+    )
+    got = np.asarray(got)
+
+    xn = np.asarray(x, np.float64)
+    sup = xn[: e * s * vs].reshape(e, s, vs, hw, hw, c)
+    qry = xn[e * s * vs :].reshape(e, q, vq, hw, hw, c)
+    eps = 1e-5
+    want = np.empty_like(xn)
+    for ei in range(e):
+        for vi in range(vs):
+            g = sup[ei, :, vi]  # the rows one reference support pass sees
+            norm = (g - g.mean(axis=(0, 1, 2))) / np.sqrt(g.var(axis=(0, 1, 2)) + eps)
+            want[: e * s * vs].reshape(e, s, vs, hw, hw, c)[ei, :, vi] = norm
+        for vi in range(vq):
+            g = qry[ei, :, vi]
+            norm = (g - g.mean(axis=(0, 1, 2))) / np.sqrt(g.var(axis=(0, 1, 2)) + eps)
+            want[e * s * vs :].reshape(e, q, vq, hw, hw, c)[ei, :, vi] = norm
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # running stats moved off their init values by the group-averaged batch
+    bs = updates["batch_stats"]
+    assert not np.allclose(np.asarray(bs["mean"]), 0.0)
+    # eval mode ignores grouping and uses running stats: same output with and
+    # without the view_groups argument
+    ev_g = mod.apply({"params": variables["params"], "batch_stats": bs}, x, False, (s, vs, q, vq))
+    ev_p = mod.apply({"params": variables["params"], "batch_stats": bs}, x, False)
+    np.testing.assert_allclose(np.asarray(ev_g), np.asarray(ev_p), atol=0)
+
+
+def test_episode_model_bn_per_view_group_runs(rng):
+    """FewShotEpisodeModel with tpu.bn_per_view_group=True: full forward in
+    train and eval modes, finite outputs, same output shapes as fused BN."""
+    exp = ExperimentConfig.from_dict(
+        {
+            "encoder_name": "CNN",
+            "use_attention": True,
+            "use_contrastive": False,
+            "tpu": {"bn_per_view_group": True, "mesh_shape": 1},
+        }
+    )
+    mdl = ModelConfig.from_dict(
+        {"CNN": {"pool_dim": [2, 2], "hidden_channels": 8, "out_dim": 64},
+         "Projection": {"input_dim": 128, "hidden_dim": 64, "output_dim": 64}}
+    )
+    model = FewShotEpisodeModel(exp, mdl)
+    e, s, q, v = 1, 6, 4, 2
+    sup = jnp.asarray(np.random.default_rng(1).standard_normal((e, s, v, 32, 40)), jnp.float32)
+    qry = jnp.asarray(np.random.default_rng(2).standard_normal((e, q, v, 32, 40)), jnp.float32)
+    labels = jnp.tile(jnp.arange(2), (e, 3))
+    variables = model.init(rng, sup, qry, labels, 2)
+    outs, updates = model.apply(
+        variables, sup, qry, labels, 2, train=True,
+        mutable=["batch_stats"], rngs={"dropout": rng},
+    )
+    assert np.isfinite(np.asarray(outs.scores)).all()
+    outs_eval = model.apply(
+        {"params": variables["params"], "batch_stats": updates["batch_stats"]},
+        sup, qry, labels, 2, train=False,
+    )
+    assert np.isfinite(np.asarray(outs_eval.scores)).all()
