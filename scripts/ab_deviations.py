@@ -1,0 +1,203 @@
+"""A/B bounds for the two riskiest documented deviations (VERDICT r02 item 4).
+
+(a) BatchNorm batch-stat granularity: fused E*V*(S+Q) batch (our default)
+    vs per-(episode, view, support|query) groups (the reference's per-view
+    Python loop, models/main_modules.py:18-23) — arm knob
+    ``tpu.bn_per_view_group``.
+(b) Pitch shift: clip/zero-pad resample (our default) vs a
+    duration-preserving phase-vocoder stretch+resample emulating
+    torch_audiomentations' PitchShift — arm knob
+    ``waveaug_params.pitchshift_mode = "pv"``.
+
+Each experiment trains both arms from identical inits over N seeds on a
+synthetic dataset and reports final val/test accuracy per arm; the deviation
+is "bounded" if the arm delta is within the run-to-run (seed) noise.
+
+Run:  python scripts/ab_deviations.py [--seeds 3] [--epochs 10] [--cpu]
+      [--experiment bn|pitch|all] [--out PARITY_AB.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def build_spec_exp(seed: int, bn_grouped: bool, epochs: int):
+    from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
+
+    exp = ExperimentConfig.from_dict({
+        "dataset_name": "ab_spec", "data_root": "/tmp",
+        "encoder_name": "Hybrid", "use_attention": True, "use_contrastive": True,
+        "n_way_train": 5, "n_way_validation": 4, "n_way_test": 4,
+        "n_shot_train": 5, "n_shot_validation": 5, "n_shot_test": 5,
+        "n_query_train": 5, "n_query_validation": 5, "n_query_test": 5,
+        "n_training_tasks": 20, "n_testing_tasks": 50,
+        "lr": 1e-3, "num_epochs": epochs, "patience": epochs + 1,
+        "train_query_augmentations": True,
+        "specaug_params": {"use": True, "mask_param": 10, "W": 10,
+                           "num_mask": 1, "mask_value": 0.0, "p": 0.3},
+        "loss": {"l_param": 1.0, "cpl": {"use": True, "m_param": 3, "t_param": 6.0}},
+        "tpu": {"episode_batch": 1, "eval_episode_batch": 8, "mesh_shape": 1,
+                "seed": seed, "num_runs": 1, "bn_per_view_group": bn_grouped},
+    })
+    mdl = ModelConfig.from_dict({})
+    return exp, mdl
+
+
+def build_wav_exp(seed: int, pv: bool, epochs: int):
+    from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
+
+    exp = ExperimentConfig.from_dict({
+        "dataset_name": "ab_wav", "data_root": "/tmp",
+        "encoder_name": "CNN", "use_attention": False, "use_contrastive": False,
+        "input_type": "wav",
+        "n_way_train": 4, "n_way_validation": 3, "n_way_test": 3,
+        "n_shot_train": 3, "n_shot_validation": 3, "n_shot_test": 3,
+        "n_query_train": 3, "n_query_validation": 3, "n_query_test": 3,
+        "n_training_tasks": 20, "n_testing_tasks": 50,
+        "lr": 2e-3, "num_epochs": epochs, "patience": epochs + 1,
+        "train_query_augmentations": False,
+        "specaug_params": {"use": False},
+        "waveaug_params": {
+            "use": True, "aug_num": 2,
+            "pitchshift_mode": "pv" if pv else "resample",
+            # pitch shift dominant; keep a light rest-of-chain for realism
+            "pitchshift_p": 0.8,
+            "pitchshift_min_transpose_semitones": -3,
+            "pitchshift_max_transpose_semitones": 3,
+            "min_gain_in_db": -4, "max_gain_in_db": 4, "gain_p": 0.3,
+            "min_snr_in_db": 15, "max_snr_in_db": 25,
+            "noise_min_f_decay": -1, "noise_max_f_decay": 1, "noise_p": 0.3,
+            "lowpass_p": 0.0, "highpass_p": 0.0, "bandstop_p": 0.0,
+            "shift_p": 0.3, "shift_min_shift": -0.2, "shift_max_shift": 0.2,
+            "timeinversion_p": 0, "spliceout_p": 0, "timestretch_p": 0,
+            "timemasking_p": 0,
+        },
+        "tpu": {"episode_batch": 1, "eval_episode_batch": 4, "mesh_shape": 1,
+                "seed": seed, "num_runs": 1},
+    })
+    mdl = ModelConfig.from_dict(
+        {"CNN": {"pool_dim": [2, 2], "hidden_channels": 16, "out_dim": 32},
+         "Projection": {"input_dim": 32, "hidden_dim": 32, "output_dim": 32}}
+    )
+    return exp, mdl
+
+
+def run_arm(exp, mdl, root):
+    from audio_few_shot_learning_tpu.data.datasets import MetaAudioDataset
+    from audio_few_shot_learning_tpu.train.engine import Trainer
+
+    load = lambda s: MetaAudioDataset(exp, root, s).to_packed_store()
+    tr = Trainer(exp, mdl, load("train"), load("valid"), load("test"))
+    t0 = time.perf_counter()
+    for _ in range(exp.num_epochs):
+        tr.train_epoch()
+    val_mean, _ = tr.validate()
+    test = tr.test()
+    return {
+        "val_acc": round(float(val_mean), 4),
+        "test_acc": round(float(test["mean_accuracy"]), 4),
+        "train_seconds": round(time.perf_counter() - t0, 1),
+    }
+
+
+def summarize(name, arm_names, results, out_lines):
+    import numpy as np
+
+    line = [f"### {name}", "", "| arm | seed accs (test) | mean ± std |", "|---|---|---|"]
+    means = {}
+    for arm in arm_names:
+        accs = [r["test_acc"] for r in results[arm]]
+        means[arm] = (float(np.mean(accs)), float(np.std(accs)))
+        line.append(
+            f"| {arm} | {', '.join(f'{a:.3f}' for a in accs)} | "
+            f"{means[arm][0]:.3f} ± {means[arm][1]:.3f} |"
+        )
+    a0, a1 = arm_names
+    delta = abs(means[a0][0] - means[a1][0])
+    noise = max(means[a0][1], means[a1][1], 1e-9)
+    verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
+    line += ["", f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}**.", ""]
+    out_lines += line
+    return {"delta": round(delta, 4), "max_seed_std": round(noise, 4), "verdict": verdict}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--experiment", choices=["bn", "pitch", "all"], default="all")
+    ap.add_argument("--out", default="PARITY_AB.md")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from audio_few_shot_learning_tpu.data.datasets import (
+        make_synthetic_dataset,
+        make_synthetic_wav_dataset,
+    )
+
+    backend = jax.default_backend()
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    out_lines = [
+        "# Deviation A/B bounds (synthetic data)",
+        "",
+        f"Generated by scripts/ab_deviations.py — backend **{backend}**, "
+        f"{args.seeds} seeds x {args.epochs} epochs, {stamp}.",
+        "Arms share the dataset; each seed re-inits params/episode streams.",
+        "",
+    ]
+    summary = {}
+
+    if args.experiment in ("bn", "all"):
+        root = make_synthetic_dataset(
+            "/tmp/ab_spec", n_classes=14, items_per_class=12,
+            split_fractions=(6, 4, 4), seed=100,
+        )
+        results = {"bn_fused": [], "bn_per_view_group": []}
+        for seed in range(args.seeds):
+            for arm, grouped in (("bn_fused", False), ("bn_per_view_group", True)):
+                exp, mdl = build_spec_exp(seed, grouped, args.epochs)
+                r = run_arm(exp, mdl, root)
+                results[arm].append(r)
+                print(f"[bn] seed={seed} arm={arm}: {r}", flush=True)
+        summary["bn"] = summarize(
+            "BatchNorm stats: fused batch vs per-(episode,view,support|query) groups "
+            "(PARITY.md deviation; reference main_modules.py:18-23)",
+            ("bn_fused", "bn_per_view_group"), results, out_lines,
+        )
+
+    if args.experiment in ("pitch", "all"):
+        root = make_synthetic_wav_dataset(
+            "/tmp/ab_wav", n_classes=10, items_per_class=10, seconds=1.0,
+            split_fractions=(4, 3, 3), seed=200,
+        )
+        results = {"ps_resample": [], "ps_pv": []}
+        for seed in range(args.seeds):
+            for arm, pv in (("ps_resample", False), ("ps_pv", True)):
+                exp, mdl = build_wav_exp(seed, pv, args.epochs)
+                r = run_arm(exp, mdl, root)
+                results[arm].append(r)
+                print(f"[pitch] seed={seed} arm={arm}: {r}", flush=True)
+        summary["pitch"] = summarize(
+            "Pitch shift: clip/zero-pad resample vs duration-preserving phase vocoder "
+            "(PARITY.md deviation; torch_audiomentations PitchShift semantics)",
+            ("ps_resample", "ps_pv"), results, out_lines,
+        )
+
+    Path(args.out).write_text("\n".join(out_lines))
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
