@@ -80,6 +80,13 @@ def main():
     rows.append(("full", full))
     print(f"full: {full:.2f} eps/s  [{time.time()-t0:.0f}s]", flush=True)
 
+    # opt-in lever: LowPass folded into the shared spectrum group (saves one
+    # rfft/irfft pair; documented reorder deviation, PARITY.md)
+    t0 = time.time()
+    fused = bench_variant({"fuse_lowpass": True})
+    rows.append(("+fuse_lowpass", fused))
+    print(f"+fuse_lowpass: {fused:.2f} eps/s  [{time.time()-t0:.0f}s]", flush=True)
+
     for name, pkey in PROB_KEYS.items():
         t0 = time.time()
         eps = bench_variant({pkey: 0.0})
