@@ -47,11 +47,39 @@ class EpisodeBatch:
 
 
 def _choose_without_replacement(key: jax.Array, scores_mask: jnp.ndarray, k: int):
-    """Gumbel-top-k indices over entries where mask>0. Returns [k] indices."""
+    """Gumbel-top-k indices over entries where mask>0. Returns [k] indices.
+
+    O(M log M) in the table width — fine for the class axis (<= ~1000
+    classes), NOT for item picks inside a class row padded to M_max (29k for
+    an NSynth-scale long-tail split); use :func:`_floyd_sample` there."""
     g = jax.random.gumbel(key, scores_mask.shape)
     g = jnp.where(scores_mask > 0, g, -jnp.inf)
     _, idx = jax.lax.top_k(g, k)
     return idx
+
+
+def _floyd_sample(key: jax.Array, count: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k distinct uniform positions in [0, count), in uniformly random order —
+    the distribution of ``random.sample(range(count), k)``
+    (reference batch_creation.py:38-48) — in O(k^2) ops.
+
+    Unlike gumbel-top-k over the count-masked padded row, cost is independent
+    of the class-table width M_max: at NSynth scale (M_max ~29k) the per-class
+    top_k sort dominated episode sampling (measured ~128 ms vs ~3 ms per
+    8-episode batch, scripts/stress_nsynth_scale.py). Floyd's subset
+    algorithm gives a uniform k-subset; the final k-element shuffle lifts it
+    to a uniform ordered sample. ``count`` is a traced scalar >= k (callers
+    pre-mask classes with fewer than k items)."""
+    k_fl, k_perm = jax.random.split(key)
+    u = jax.random.uniform(k_fl, (k,))
+    chosen = jnp.full((k,), -1, jnp.int32)
+    for i in range(k):  # static unroll; k = K_support + K_query is small
+        j = count.astype(jnp.int32) - k + i
+        t = jnp.minimum((u[i] * (j + 1).astype(jnp.float32)).astype(jnp.int32), j)
+        hit = jnp.any(chosen == t)
+        chosen = chosen.at[i].set(jnp.where(hit, j, t))
+    perm = jnp.argsort(jax.random.uniform(k_perm, (k,)))
+    return chosen[perm]
 
 
 def sample_episode(
@@ -70,13 +98,10 @@ def sample_episode(
     classes = _choose_without_replacement(k_cls, cls_mask, n_way)
     classes = jnp.sort(classes)  # remap = position in sorted order
 
-    # --- per-class item split: top (K+Q) of masked gumbel over the class row ---
+    # --- per-class item split: Floyd k-subset + shuffle over [0, count) ---
     def per_class(kc, c):
-        row = store.class_table[c]  # [M_max]
-        count = store.class_counts[c]
-        valid = jnp.arange(row.shape[0]) < count
-        idx = _choose_without_replacement(kc, valid.astype(jnp.float32), k_support + k_query)
-        items = row[idx]
+        idx = _floyd_sample(kc, store.class_counts[c], k_support + k_query)
+        items = store.class_table[c, idx]  # k-element gather, not a row read
         return items[:k_support], items[k_support:]
 
     cls_keys = jax.random.split(k_items, n_way)
@@ -147,11 +172,8 @@ def sample_wav_episode(
     classes = jnp.sort(_choose_without_replacement(k_cls, cls_mask, n_way))
 
     def per_class(kc, c):
-        row = store.class_table[c]
-        count = store.class_counts[c]
-        valid = jnp.arange(row.shape[0]) < count
-        idx = _choose_without_replacement(kc, valid.astype(jnp.float32), k_support + k_query)
-        items = row[idx]
+        idx = _floyd_sample(kc, store.class_counts[c], k_support + k_query)
+        items = store.class_table[c, idx]
         return items[:k_support], items[k_support:]
 
     cls_keys = jax.random.split(k_items, n_way)

@@ -97,7 +97,14 @@ NpyInfo parse_header(FILE* f) {
     elems *= dim;
     ++ndims;
   }
-  if (ndims == 1) info.shape0 = 1;  // 1-D payloads: one logical segment
+  // shape0 is the SEGMENT count: stacked specs are 3-D [S, F, T]; 1-D
+  // waveforms and 2-D [F, T] single-segment specs (the offline to_spec
+  // layout — preprocessing/to_spec.py saves 2-D) are one logical segment.
+  // Reporting the leading dim for 2-D files made every fixed-length spec
+  // dataset fail datasets.py's elems == segs*F*T check and silently fall
+  // back to the slow Python packer (caught by scripts/stress_nsynth_scale.py
+  // at 306k items: 3x peak RSS, ~4x pack time).
+  if (ndims <= 2) info.shape0 = 1;
   info.elems = elems;
   info.ok = true;
   return info;

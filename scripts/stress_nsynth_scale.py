@@ -157,13 +157,20 @@ def main():
     # episode-sampling cost: big store vs small control (must be ~flat)
     def time_sampling(st, label):
         key = jax.random.PRNGKey(0)
-        fn = jax.jit(lambda k: sample_episode_batch(k, st, 5, 5, 5, False, batch=8))
-        ep = fn(key)
+        # the store rides as a jit ARGUMENT (flax struct pytree): closing over
+        # it would bake the multi-GB segments array into the program as a
+        # captured constant (see ARCHITECTURE.md "Lessons")
+        fn = jax.jit(
+            lambda k, s: sample_episode_batch(k, s, 5, 5, 5, False, batch=8),
+            static_argnums=(),
+        )
+        st_dev = jax.device_put(st)
+        ep = fn(key, st_dev)
         jax.block_until_ready(ep.support)
         t0 = time.perf_counter()
         reps = 20
         for i in range(reps):
-            ep = fn(jax.random.fold_in(key, i))
+            ep = fn(jax.random.fold_in(key, i), st_dev)
         jax.block_until_ready(ep.support)
         ms = (time.perf_counter() - t0) / reps * 1e3
         out[f"sample_ms_per_8ep_{label}"] = round(ms, 2)

@@ -186,6 +186,45 @@ def test_insufficient_class_items_excluded():
             assert not any(np.allclose(row, s) for s in small_class)
 
 
+def test_floyd_sample_uniform_ordered_tuples():
+    """_floyd_sample (per-class item picks) draws uniform ORDERED k-tuples
+    without replacement — the distribution of random.sample(range(count), k)
+    (reference batch_creation.py:38-48). Chi-square over all 120 ordered
+    3-of-6 tuples; count rides as a traced scalar like in the sampler."""
+    import scipy.stats
+
+    from audio_few_shot_learning_tpu.data.episodes import _floyd_sample
+
+    k, count, trials = 3, 6, 7200
+    keys = jax.random.split(jax.random.PRNGKey(3), trials)
+    draws = np.asarray(
+        jax.jit(jax.vmap(lambda kk: _floyd_sample(kk, jnp.int32(count), k)))(keys)
+    )
+    assert draws.min() >= 0 and draws.max() < count
+    # distinct within each draw
+    assert all(len(set(map(int, d))) == k for d in draws)
+    tuple_ids = draws[:, 0] * count * count + draws[:, 1] * count + draws[:, 2]
+    observed = np.zeros(count ** 3)
+    np.add.at(observed, tuple_ids, 1)
+    valid = observed[observed.nonzero()]
+    assert valid.size == 120  # every ordered 3-of-6 tuple occurs
+    _, p = scipy.stats.chisquare(valid)
+    assert p > 1e-4, f"ordered tuples non-uniform (p={p})"
+
+
+def test_floyd_sample_count_equals_k():
+    """count == k must return a uniform shuffle of ALL items (classes with
+    exactly K+Q items are eligible, reference raises only below that)."""
+    from audio_few_shot_learning_tpu.data.episodes import _floyd_sample
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 300)
+    draws = np.asarray(jax.vmap(lambda kk: _floyd_sample(kk, jnp.int32(4), 4))(keys))
+    assert (np.sort(draws, axis=1) == np.arange(4)).all()
+    # first position is uniform over all 4 items
+    counts = np.bincount(draws[:, 0], minlength=4)
+    assert counts.min() > 40, counts
+
+
 def test_class_sampling_uniform(synth_root):
     """Episode class draws are uniform over eligible classes (chi-square;
     replaces the reference's implicit random.sample semantics)."""

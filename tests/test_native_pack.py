@@ -21,6 +21,13 @@ def test_probe(tmp_path):
     np.save(tmp_path / "b.npy", y)
     elems, shape0 = native_pack.probe(tmp_path / "b.npy")
     assert elems == 77 and shape0 == 1
+    # 2-D [F, T] = ONE segment (the offline to_spec layout). Reporting the
+    # leading dim here made every fixed-length spec dataset silently skip
+    # the native packer (caught by the NSynth-scale stress run).
+    z = np.random.default_rng(0).standard_normal((8, 5)).astype(np.float32)
+    np.save(tmp_path / "c.npy", z)
+    elems, shape0 = native_pack.probe(tmp_path / "c.npy")
+    assert elems == 40 and shape0 == 1
 
 
 def test_pack_files_matches_numpy(tmp_path):
@@ -104,6 +111,28 @@ def test_store_native_bf16_matches_python(tmp_path):
     np.testing.assert_allclose(a, b, rtol=2 ** -8, atol=1e-6)
     exact = (a == b).mean()
     assert exact > 0.99, f"only {exact:.4f} bit-identical"
+
+
+def test_store_native_engages_on_2d_files(tmp_path):
+    """Single-segment datasets (2-D [F, T] .npy files — the layout
+    preprocessing/to_spec.py writes and make_synthetic_dataset's default)
+    must take the native fast path, not silently fall back to Python."""
+    root = make_synthetic_dataset(
+        tmp_path / "ds", n_classes=6, items_per_class=6, n_mels=16, n_frames=12,
+        split_fractions=(2, 2, 2),
+    )
+    exp = ExperimentConfig.from_dict({})
+    ds = MetaAudioDataset(exp, root, "train")
+    native = ds._to_packed_store_native()
+    assert native is not None, "native packer must engage on 2-D spec files"
+    python = ds.to_packed_store(use_native=False)
+    np.testing.assert_allclose(
+        np.asarray(native.segments), np.asarray(python.segments), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(native.seg_counts), np.asarray(python.seg_counts)
+    )
+    assert native.s_max == python.s_max == 1
 
 
 def test_pack_failure_falls_back(tmp_path):
