@@ -165,16 +165,23 @@ def main():
             static_argnums=(),
         )
         st_dev = jax.device_put(st)
-        ep = fn(key, st_dev)
+        # Right after a 306k-file pack the 1-core box spends minutes on
+        # kernel writeback/page-reclaim: single-round timings decay 58 -> 12
+        # ms/8ep over ~150 s with 10x spikes (measured 2026-08-18), while a
+        # settled process measures ~4.5 ms. Best-of-rounds is the robust
+        # estimator under that interference.
+        for i in range(10):  # warm: page-fault the store, drain compile tails
+            ep = fn(jax.random.fold_in(key, 1000 + i), st_dev)
         jax.block_until_ready(ep.support)
-        t0 = time.perf_counter()
-        reps = 20
-        for i in range(reps):
-            ep = fn(jax.random.fold_in(key, i), st_dev)
-        jax.block_until_ready(ep.support)
-        ms = (time.perf_counter() - t0) / reps * 1e3
-        out[f"sample_ms_per_8ep_{label}"] = round(ms, 2)
-        return ms
+        best = float("inf")
+        for rnd in range(12):
+            t0 = time.perf_counter()
+            for i in range(10):
+                ep = fn(jax.random.fold_in(key, rnd * 100 + i), st_dev)
+            jax.block_until_ready(ep.support)
+            best = min(best, (time.perf_counter() - t0) / 10 * 1e3)
+        out[f"sample_ms_per_8ep_{label}"] = round(best, 2)
+        return best
 
     print("timing episode sampling ...", flush=True)
     big_ms = time_sampling(store, "306k")
