@@ -339,9 +339,14 @@ def _pv_shift_row(x_row, f, f_upper: float, n_fft: int = 1024, hop: int = 256):
     """
     l = x_row.shape[0]
     k_bins = n_fft // 2 + 1
-    win = jnp.asarray(
-        (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(np.float32)
+    # win_np stays NumPy: the overlap-add weight below is computed with
+    # np.add.at at trace time (static), and np.asarray on the jnp copy is a
+    # TracerArrayConversionError inside the jitted train step (the jnp
+    # constant is a tracer under remat).
+    win_np = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(
+        np.float32
     )
+    win = jnp.asarray(win_np)
     t_frames = 1 + (l - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(t_frames)[:, None]
     frames = x_row[idx] * win
@@ -368,7 +373,7 @@ def _pv_shift_row(x_row, f, f_upper: float, n_fft: int = 1024, hop: int = 256):
     pos = (hop * np.arange(out_t)[:, None] + np.arange(n_fft)[None, :]).ravel()
     buf = jnp.zeros(buf_len, jnp.float32).at[pos].add(y_frames.ravel())
     wsum = np.zeros(buf_len, np.float32)
-    np.add.at(wsum, pos, np.tile(np.asarray(win) ** 2, out_t))
+    np.add.at(wsum, pos, np.tile(win_np ** 2, out_t))
     buf = buf / np.maximum(wsum, 1e-8)
 
     # read back at rate f: duration L, pitch scaled by f

@@ -28,29 +28,40 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def build_spec_exp(seed: int, bn_grouped: bool, epochs: int):
+def build_spec_exp(seed: int, bn_grouped: bool, epochs: int, light: bool = False):
     from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
 
+    # light mode: CPU-feasible variant for when the TPU tunnel is down. The
+    # BN-granularity deviation lives in the conv encoder's BN layers and only
+    # needs V>1 views; the flagship's attention/CPL/Hybrid extras add realism
+    # but ~20x CPU cost (one full-scale epoch exceeded 25 min on this 1-core
+    # box). Feature dims shrink with the dataset (48x60, see main()).
     exp = ExperimentConfig.from_dict({
         "dataset_name": "ab_spec", "data_root": "/tmp",
-        "encoder_name": "Hybrid", "use_attention": True, "use_contrastive": True,
+        "encoder_name": "CNN" if light else "Hybrid",
+        "use_attention": not light, "use_contrastive": not light,
         "n_way_train": 5, "n_way_validation": 4, "n_way_test": 4,
         "n_shot_train": 5, "n_shot_validation": 5, "n_shot_test": 5,
         "n_query_train": 5, "n_query_validation": 5, "n_query_test": 5,
-        "n_training_tasks": 20, "n_testing_tasks": 50,
+        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 50,
         "lr": 1e-3, "num_epochs": epochs, "patience": epochs + 1,
         "train_query_augmentations": True,
         "specaug_params": {"use": True, "mask_param": 10, "W": 10,
                            "num_mask": 1, "mask_value": 0.0, "p": 0.3},
-        "loss": {"l_param": 1.0, "cpl": {"use": True, "m_param": 3, "t_param": 6.0}},
+        "loss": {"l_param": 1.0,
+                 "cpl": {"use": not light, "m_param": 3, "t_param": 6.0}},
         "tpu": {"episode_batch": 1, "eval_episode_batch": 8, "mesh_shape": 1,
                 "seed": seed, "num_runs": 1, "bn_per_view_group": bn_grouped},
     })
-    mdl = ModelConfig.from_dict({})
+    mdl = ModelConfig.from_dict(
+        {"CNN": {"pool_dim": [2, 2], "hidden_channels": 32, "out_dim": 48},
+         "Projection": {"input_dim": 48, "hidden_dim": 48, "output_dim": 48}}
+        if light else {}
+    )
     return exp, mdl
 
 
-def build_wav_exp(seed: int, pv: bool, epochs: int):
+def build_wav_exp(seed: int, pv: bool, epochs: int, light: bool = False):
     from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
 
     exp = ExperimentConfig.from_dict({
@@ -60,7 +71,7 @@ def build_wav_exp(seed: int, pv: bool, epochs: int):
         "n_way_train": 4, "n_way_validation": 3, "n_way_test": 3,
         "n_shot_train": 3, "n_shot_validation": 3, "n_shot_test": 3,
         "n_query_train": 3, "n_query_validation": 3, "n_query_test": 3,
-        "n_training_tasks": 20, "n_testing_tasks": 50,
+        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 50,
         "lr": 2e-3, "num_epochs": epochs, "patience": epochs + 1,
         "train_query_augmentations": False,
         "specaug_params": {"use": False},
@@ -134,6 +145,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--experiment", choices=["bn", "pitch", "all"], default="all")
+    ap.add_argument("--light", action="store_true",
+                    help="CPU-feasible scale: CNN encoder, 48x60 features, "
+                         "10 tasks/epoch (deviation semantics unchanged)")
     ap.add_argument("--out", default="PARITY_AB.md")
     args = ap.parse_args()
 
@@ -153,7 +167,7 @@ def main():
         "# Deviation A/B bounds (synthetic data)",
         "",
         f"Generated by scripts/ab_deviations.py — backend **{backend}**, "
-        f"{args.seeds} seeds x {args.epochs} epochs, {stamp}.",
+        f"{args.seeds} seeds x {args.epochs} epochs{' (light scale)' if args.light else ''}, {stamp}.",
         "Arms share the dataset; each seed re-inits params/episode streams.",
         "",
     ]
@@ -162,12 +176,14 @@ def main():
     if args.experiment in ("bn", "all"):
         root = make_synthetic_dataset(
             "/tmp/ab_spec", n_classes=14, items_per_class=12,
+            n_mels=48 if args.light else 128,
+            n_frames=60 if args.light else 157,
             split_fractions=(6, 4, 4), seed=100,
         )
         results = {"bn_fused": [], "bn_per_view_group": []}
         for seed in range(args.seeds):
             for arm, grouped in (("bn_fused", False), ("bn_per_view_group", True)):
-                exp, mdl = build_spec_exp(seed, grouped, args.epochs)
+                exp, mdl = build_spec_exp(seed, grouped, args.epochs, args.light)
                 r = run_arm(exp, mdl, root)
                 results[arm].append(r)
                 print(f"[bn] seed={seed} arm={arm}: {r}", flush=True)
@@ -185,7 +201,7 @@ def main():
         results = {"ps_resample": [], "ps_pv": []}
         for seed in range(args.seeds):
             for arm, pv in (("ps_resample", False), ("ps_pv", True)):
-                exp, mdl = build_wav_exp(seed, pv, args.epochs)
+                exp, mdl = build_wav_exp(seed, pv, args.epochs, args.light)
                 r = run_arm(exp, mdl, root)
                 results[arm].append(r)
                 print(f"[pitch] seed={seed} arm={arm}: {r}", flush=True)

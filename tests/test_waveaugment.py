@@ -381,3 +381,18 @@ def test_pitch_shift_pv_in_chain(rng):
     out = np.asarray(aug(x, jax.random.PRNGKey(0)))
     assert out.shape == (2, 2, L)
     assert not np.allclose(out[:, 1], np.asarray(x))
+
+
+def test_pitch_shift_pv_under_jit_and_remat(rng):
+    """pv must compile inside the jitted+remat train step: the overlap-add
+    weight is built with np.add.at at trace time, and an np.asarray on the
+    window jnp constant was a TracerArrayConversionError under remat (caught
+    by the first full ab_deviations pv training run, 2026-08-18)."""
+    from audio_few_shot_learning_tpu.ops.waveaugment import pitch_shift_pv
+
+    x = _tone(440, b=2)
+    y0 = np.asarray(pitch_shift_pv(x, rng, -3.0, 3.0, p=1.0))
+    f = jax.jit(jax.checkpoint(lambda xx, kk: pitch_shift_pv(xx, kk, -3.0, 3.0, p=1.0)))
+    y1 = np.asarray(f(x, rng))
+    # compiled-vs-eager float32 FFT reassociation only
+    np.testing.assert_allclose(y0, y1, atol=2e-3)
