@@ -572,3 +572,61 @@ class Trainer:
             tie_strategy=exp.tie_strategy,
         )
         return {"mean_accuracy": mean, "accuracy_std": std}
+
+    def predict_episode(
+        self,
+        support: np.ndarray,
+        support_labels: np.ndarray,
+        query: np.ndarray,
+        n_way: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Classify FIXED query items against a FIXED support set — the
+        serving entry point (cli/predict.py). The reference has no inference
+        path at all (train/test only, src/train_test.py); this runs the exact
+        eval-time view/model pipeline on one caller-supplied episode instead
+        of a sampled one.
+
+        support: [S, F, T] spec features (already normalized like the
+        training store) for spec models, or [S, L] raw waveforms for wav
+        models (mel + glob z-norm happen on device exactly as in eval).
+        support_labels: [S] ints in [0, n_way). query: [Q, F, T] / [Q, L].
+        Returns (pred [Q] class indices, scores [Q, n_way] f32). Support
+        views use the training augmentation bank (eval semantics); ``key``
+        fixes those draws (default: deterministic).
+        """
+        sup = jnp.asarray(support)[None]
+        qry = jnp.asarray(query)[None]
+        labs = jnp.asarray(support_labels, jnp.int32)[None]
+        if n_way is None:
+            n_way = int(np.asarray(support_labels).max()) + 1
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        cache_key = ("predict", sup.shape, qry.shape, n_way)
+        if cache_key not in self._eval_fns:
+
+            def fn(state, sup, qry, labs, k):
+                k_aug_s, k_aug_q = jax.random.split(k)
+                if self.is_wav:
+                    sup_views, qry_views = self._make_wav_views_pair(
+                        sup, qry, k_aug_s, k_aug_q, False, self.train_store
+                    )
+                else:
+                    sup_views = self._make_views(sup, k_aug_s, self.specaug)
+                    qry_views = self._make_views(qry, k_aug_q, False)
+                outs = self.model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    sup_views,
+                    qry_views,
+                    labs,
+                    n_way,
+                    train=False,
+                    with_contrastive=False,
+                )
+                scores = outs.scores[0]  # [Q, n_way] (single episode, V=1 query)
+                return jnp.argmax(scores, axis=-1), scores
+
+            self._eval_fns[cache_key] = jax.jit(fn)
+        pred, scores = self._eval_fns[cache_key](self.state, sup, qry, labs, key)
+        return np.asarray(pred), np.asarray(jax.device_get(scores), dtype=np.float32)
