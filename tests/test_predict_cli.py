@@ -126,6 +126,72 @@ def test_predict_cli_end_to_end(serving_setup, tmp_path, capsys):
         assert set(rec["scores"]) == set(payload["classes"])
 
 
+def test_predict_cli_wav_model(tmp_path):
+    """Wav-input models: raw waveforms through the predict CLI (mel +
+    z-norm on device via the eval pipeline)."""
+    from audio_few_shot_learning_tpu.cli.predict import main
+    from audio_few_shot_learning_tpu.config import SAMPLE_RATE
+    from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
+
+    rng = np.random.default_rng(3)
+    sr = SAMPLE_RATE
+    t = np.arange(sr) / sr
+
+    def tone(f):
+        return (np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(sr)).astype(
+            np.float32
+        )
+
+    sup_dir = tmp_path / "support"
+    wavs, labels = [], []
+    for ci, (name, f0) in enumerate([("low", 220.0), ("high", 1200.0)]):
+        d = sup_dir / name
+        d.mkdir(parents=True)
+        for ii in range(2):
+            w = tone(f0)
+            np.save(d / f"s{ii}.npy", w)  # 1-D npy == raw waveform
+            wavs.append(w)
+            labels.append(ci)
+    q = tmp_path / "q_low.npy"
+    np.save(q, tone(220.0))
+
+    ej, mj = tmp_path / "e.json", tmp_path / "m.json"
+    ej.write_text(json.dumps({
+        "encoder_name": "CNN", "use_attention": False, "use_contrastive": False,
+        "input_type": "wav",
+        "specaug_params": {"use": False},
+        "waveaug_params": {"use": True, "aug_num": 1,
+                           "min_gain_in_db": -3, "max_gain_in_db": 3, "gain_p": 1.0},
+        "tpu": {"episode_batch": 1, "eval_episode_batch": 2, "mesh_shape": 1},
+    }))
+    mj.write_text(json.dumps(
+        {"CNN": {"pool_dim": [2, 2], "hidden_channels": 8, "out_dim": 16},
+         "Projection": {"input_dim": 16, "hidden_dim": 16, "output_dim": 16}}
+    ))
+    g = tmp_path / "glob_norm.npy"
+    np.save(g, np.array([[[0.0]], [[1.0]]], dtype=np.float32))
+
+    # checkpoint template from the same store geometry the CLI will build
+    from audio_few_shot_learning_tpu.config import load_configs
+
+    exp2, mdl2 = load_configs(str(ej), str(mj))
+    store = PackedWavStore.pack(wavs, labels, 2)
+    tr = Trainer(exp2, mdl2, store)
+    ck = tmp_path / "model.ckpt"
+    ckpt.save_model(str(ck), tr.state.params, tr.state.batch_stats)
+
+    out = tmp_path / "pred.json"
+    main([
+        "-e", str(ej), "-m", str(mj), "--checkpoint", str(ck),
+        "--support", str(sup_dir), "--query", str(q),
+        "--norm-stats", str(g), "--output", str(out),
+    ])
+    payload = json.loads(out.read_text())
+    assert payload["classes"] == ["high", "low"]
+    assert payload["predictions"][0]["predicted_class"] in ("high", "low")
+    assert set(payload["predictions"][0]["scores"]) == {"high", "low"}
+
+
 @pytest.mark.slow
 def test_predict_accuracy_after_training(tmp_path):
     """Train briefly on the learnable synthetic dataset, then serve held-out
