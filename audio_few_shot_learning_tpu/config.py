@@ -159,6 +159,14 @@ class TPUConfig:
     # emulation only; default off = fused batch (documented deviation,
     # PARITY.md).
     bn_per_view_group: bool = False
+    # Fold eval-mode BatchNorm (a per-channel affine of running stats) into
+    # the conv kernels on forward-only paths (train=False). Removes one
+    # full-size elementwise read/write pair per conv block from the eval
+    # forward — XLA does NOT fuse the affine into the conv epilogue (measured
+    # 1.29x on the 4-block eval stack, scripts/bn_fold_eval.py). Exactly
+    # BN(conv(x,K,b)) == conv(x, K*inv, b*inv+shift) up to compute-dtype
+    # rounding; training paths are untouched.
+    fold_bn_eval: bool = True
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TPUConfig":

@@ -20,6 +20,7 @@ dynamics track the reference.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -68,15 +69,31 @@ class BandwidthBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool, view_groups: Optional[Tuple[int, int, int, int]] = None
+        self,
+        x: jnp.ndarray,
+        train: bool,
+        view_groups: Optional[Tuple[int, int, int, int]] = None,
+        fold: bool = False,
     ) -> jnp.ndarray:
-        feat = x.shape[-1]
-        axes = tuple(range(x.ndim - 1))
+        """``fold=True`` (eval only): ``x`` is the channel count (int); returns
+        the per-channel f32 ``(inv, shift)`` of the eval affine
+        ``y = x*inv + shift`` instead of applying it, so the caller can fold
+        it into the preceding conv's kernel/bias (ConvBlock, tpu.fold_bn_eval).
+        The same variables are created either way — the param tree is
+        identical across fold and non-fold paths."""
+        feat = x if isinstance(x, int) else x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(feat, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(feat, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
 
+        if fold:
+            if train:
+                raise ValueError("BN folding is eval-only (train=False)")
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return inv, bias - ra_mean.value * inv
+
+        axes = tuple(range(x.ndim - 1))
         if train and view_groups is not None:
             return self._grouped(x, view_groups, ra_mean, ra_var, scale, bias)
 
@@ -164,6 +181,7 @@ class ConvBlock(nn.Module):
     features: int
     pool: Tuple[int, int]
     compute_dtype: str = "bfloat16"
+    fold_bn_eval: bool = False
 
     @nn.compact
     def __call__(
@@ -171,15 +189,29 @@ class ConvBlock(nn.Module):
     ) -> jnp.ndarray:
         in_feat = x.shape[-1]
         cd = jnp.dtype(self.compute_dtype)
-        x = nn.Conv(
-            self.features,
-            (3, 3),
+        # conv params owned directly (not via nn.Conv) so the eval-time BN
+        # fold below can rescale the kernel in-graph — a per-channel op on
+        # the [3,3,Cin,C] weights, negligible next to the conv itself
+        kernel = self.param("kernel", _torch_conv_init, (3, 3, in_feat, self.features))
+        bias = self.param("bias", _torch_bias_init(in_feat * 9), (self.features,))
+        bn = BandwidthBatchNorm()
+        conv = functools.partial(
+            jax.lax.conv_general_dilated,
+            window_strides=(1, 1),
             padding="SAME",
-            kernel_init=_torch_conv_init,
-            bias_init=_torch_bias_init(in_feat * 9),
-            dtype=cd,
-        )(x.astype(cd))
-        x = BandwidthBatchNorm()(x, train, view_groups)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.fold_bn_eval and not train:
+            # eval-mode BN is y = x*inv + shift with per-channel running-stat
+            # constants, and conv is linear, so BN(conv(x,K,b)) ==
+            # conv(x, K*inv, b*inv + shift) — one conv, no full-size affine
+            # pass (1.29x on the eval stack, scripts/bn_fold_eval.py)
+            inv, shift = bn(self.features, train=False, fold=True)
+            x = conv(x.astype(cd), (kernel * inv).astype(cd))
+            x = x + (bias * inv + shift).astype(cd)
+        else:
+            x = conv(x.astype(cd), kernel.astype(cd)) + bias.astype(cd)
+            x = bn(x, train, view_groups)
         # torch MaxPool2d(kernel=pool, stride=pool): floor division of dims
         ph, pw = self.pool
         h = (x.shape[1] // ph) * ph
@@ -217,6 +249,7 @@ class ConvEncoder(nn.Module):
     pool: Tuple[int, int]
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    fold_bn_eval: bool = False
 
     @nn.compact
     def __call__(
@@ -227,7 +260,11 @@ class ConvEncoder(nn.Module):
         )
         for i in range(4):
             x = block_cls(
-                self.hidden_channels, self.pool, self.compute_dtype, name=f"block{i}"
+                self.hidden_channels,
+                self.pool,
+                self.compute_dtype,
+                self.fold_bn_eval,
+                name=f"block{i}",
             )(x, train, view_groups)
         return x
 
@@ -267,6 +304,7 @@ class StandardCNN(nn.Module):
     cfg: CNNConfig
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    fold_bn_eval: bool = False
 
     @nn.compact
     def __call__(
@@ -277,7 +315,11 @@ class StandardCNN(nn.Module):
     ) -> jnp.ndarray:
         x = x[..., None]  # NHWC, C=1 (cfg.in_channels==1 for all datasets)
         x = ConvEncoder(
-            self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype, self.remat
+            self.cfg.hidden_channels,
+            self.cfg.pool_dim,
+            self.compute_dtype,
+            self.remat,
+            self.fold_bn_eval,
         )(x, train, view_groups)
         x = x.reshape(x.shape[0], -1)
         return _LogitsHead(self.cfg.out_dim)(x, train, view_groups)
@@ -295,6 +337,7 @@ class StandardHybrid(nn.Module):
     cfg: HybridConfig
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    fold_bn_eval: bool = False
 
     @nn.compact
     def __call__(
@@ -305,7 +348,11 @@ class StandardHybrid(nn.Module):
     ) -> jnp.ndarray:
         x = x[..., None]
         x = ConvEncoder(
-            self.cfg.hidden_channels, self.cfg.pool_dim, self.compute_dtype, self.remat
+            self.cfg.hidden_channels,
+            self.cfg.pool_dim,
+            self.compute_dtype,
+            self.remat,
+            self.fold_bn_eval,
         )(x, train, view_groups)
         x = x.astype(jnp.float32)
         b, fp, tp, c = x.shape
@@ -341,10 +388,11 @@ def make_backbone(
     hybrid_cfg: HybridConfig,
     compute_dtype: str = "bfloat16",
     remat: bool = True,
+    fold_bn_eval: bool = False,
 ) -> nn.Module:
     """Factory mirroring get_backbone_model (main_modules.py:258-285)."""
     if encoder_name == "CNN":
-        return StandardCNN(cnn_cfg, compute_dtype, remat)
+        return StandardCNN(cnn_cfg, compute_dtype, remat, fold_bn_eval)
     if encoder_name == "Hybrid":
-        return StandardHybrid(hybrid_cfg, compute_dtype, remat)
+        return StandardHybrid(hybrid_cfg, compute_dtype, remat, fold_bn_eval)
     raise ValueError(f"unknown encoder {encoder_name!r}")

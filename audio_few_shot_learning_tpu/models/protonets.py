@@ -86,6 +86,7 @@ class FewShotEpisodeModel(nn.Module):
             self.mdl.hybrid,
             compute_dtype=self.exp.tpu.compute_dtype,
             remat=self.exp.tpu.remat_enabled(),
+            fold_bn_eval=self.exp.tpu.fold_bn_eval,
         )
         if self.exp.use_attention:
             self.attention = SelfAttention(self.mdl.attention)

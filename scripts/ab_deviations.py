@@ -8,10 +8,17 @@
     duration-preserving phase-vocoder stretch+resample emulating
     torch_audiomentations' PitchShift — arm knob
     ``waveaug_params.pitchshift_mode = "pv"``.
+(c) LowPass fusion: reference chain order (lowpass BEFORE the colored-noise
+    addition, own FFT pair) vs ``waveaug_params.fuse_lowpass`` (lowpass mask
+    joins the shared noise/hp/bs spectrum group, so added noise gets
+    lowpassed too — the throughput knob that crosses the 20 eps/s wav
+    target, BASELINE.md driver round 4).
 
-Each experiment trains both arms from identical inits over N seeds on a
-synthetic dataset and reports final val/test accuracy per arm; the deviation
-is "bounded" if the arm delta is within the run-to-run (seed) noise.
+Each experiment trains both arms from identical inits, episode streams and
+eval episodes over N seeds (the two arms of a seed share every PRNG draw, so
+per-seed accuracy deltas are PAIRED and cancel init/sampling variance); the
+deviation is "bounded" if the mean paired delta is within 2 SEM, and the
+report states the minimum detectable effect that implies.
 
 Run:  python scripts/ab_deviations.py [--seeds 3] [--epochs 10] [--cpu]
       [--experiment bn|pitch|all] [--out PARITY_AB.md]
@@ -43,7 +50,7 @@ def build_spec_exp(seed: int, bn_grouped: bool, epochs: int, light: bool = False
         "n_way_train": 5, "n_way_validation": 4, "n_way_test": 4,
         "n_shot_train": 5, "n_shot_validation": 5, "n_shot_test": 5,
         "n_query_train": 5, "n_query_validation": 5, "n_query_test": 5,
-        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 50,
+        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 200,
         "lr": 1e-3, "num_epochs": epochs, "patience": epochs + 1,
         "train_query_augmentations": True,
         "specaug_params": {"use": True, "mask_param": 10, "W": 10,
@@ -71,7 +78,7 @@ def build_wav_exp(seed: int, pv: bool, epochs: int, light: bool = False):
         "n_way_train": 4, "n_way_validation": 3, "n_way_test": 3,
         "n_shot_train": 3, "n_shot_validation": 3, "n_shot_test": 3,
         "n_query_train": 3, "n_query_validation": 3, "n_query_test": 3,
-        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 50,
+        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 200,
         "lr": 2e-3, "num_epochs": epochs, "patience": epochs + 1,
         "train_query_augmentations": False,
         "specaug_params": {"use": False},
@@ -89,6 +96,46 @@ def build_wav_exp(seed: int, pv: bool, epochs: int, light: bool = False):
             "shift_p": 0.3, "shift_min_shift": -0.2, "shift_max_shift": 0.2,
             "timeinversion_p": 0, "spliceout_p": 0, "timestretch_p": 0,
             "timemasking_p": 0,
+        },
+        "tpu": {"episode_batch": 1, "eval_episode_batch": 4, "mesh_shape": 1,
+                "seed": seed, "num_runs": 1},
+    })
+    mdl = ModelConfig.from_dict(
+        {"CNN": {"pool_dim": [2, 2], "hidden_channels": 16, "out_dim": 32},
+         "Projection": {"input_dim": 32, "hidden_dim": 32, "output_dim": 32}}
+    )
+    return exp, mdl
+
+
+def build_lowpass_exp(seed: int, fused: bool, epochs: int, light: bool = False):
+    """Arms differ only in ``waveaug_params.fuse_lowpass``. The deviation
+    only bites when lowpass AND the noise group co-apply to an example (the
+    fused order lowpasses the added noise; the reference order adds noise to
+    the already-lowpassed signal and its SNR references the lowpassed RMS),
+    so lowpass/noise probabilities are set high enough to co-occur often."""
+    from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
+
+    exp = ExperimentConfig.from_dict({
+        "dataset_name": "ab_wav", "data_root": "/tmp",
+        "encoder_name": "CNN", "use_attention": False, "use_contrastive": False,
+        "input_type": "wav",
+        "n_way_train": 4, "n_way_validation": 3, "n_way_test": 3,
+        "n_shot_train": 3, "n_shot_validation": 3, "n_shot_test": 3,
+        "n_query_train": 3, "n_query_validation": 3, "n_query_test": 3,
+        "n_training_tasks": 10 if light else 20, "n_testing_tasks": 200,
+        "lr": 2e-3, "num_epochs": epochs, "patience": epochs + 1,
+        "train_query_augmentations": False,
+        "specaug_params": {"use": False},
+        "waveaug_params": {
+            "use": True, "aug_num": 2,
+            "fuse_lowpass": fused,
+            "lowpass_p": 0.6,
+            "min_snr_in_db": 10, "max_snr_in_db": 20,
+            "noise_min_f_decay": -1, "noise_max_f_decay": 1, "noise_p": 0.6,
+            "highpass_p": 0.3, "bandstop_p": 0.3,
+            "min_gain_in_db": -4, "max_gain_in_db": 4, "gain_p": 0.3,
+            "pitchshift_p": 0.0, "shift_p": 0.0, "timeinversion_p": 0,
+            "spliceout_p": 0, "timestretch_p": 0, "timemasking_p": 0,
         },
         "tpu": {"episode_batch": 1, "eval_episode_batch": 4, "mesh_shape": 1,
                 "seed": seed, "num_runs": 1},
@@ -119,6 +166,11 @@ def run_arm(exp, mdl, root):
 
 
 def summarize(name, arm_names, results, out_lines):
+    """Paired analysis: both arms of a seed share params init, episode
+    stream, and eval episodes (identical PRNG seed; the knob only alters the
+    arm-specific computation), so the per-seed DELTA cancels init/sampling
+    variance. The minimum detectable effect is 2*std(deltas)/sqrt(n) — report
+    it so 'within noise' has a stated power (VERDICT r03 item 4)."""
     import numpy as np
 
     line = [f"### {name}", "", "| arm | seed accs (test) | mean ± std |", "|---|---|---|"]
@@ -131,12 +183,30 @@ def summarize(name, arm_names, results, out_lines):
             f"{means[arm][0]:.3f} ± {means[arm][1]:.3f} |"
         )
     a0, a1 = arm_names
-    delta = abs(means[a0][0] - means[a1][0])
-    noise = max(means[a0][1], means[a1][1], 1e-9)
-    verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
-    line += ["", f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}**.", ""]
+    deltas = np.array(
+        [r0["test_acc"] - r1["test_acc"] for r0, r1 in zip(results[a0], results[a1])]
+    )
+    n = len(deltas)
+    d_mean = float(np.mean(deltas))
+    d_std = float(np.std(deltas, ddof=1)) if n > 1 else float("nan")
+    mde = 2.0 * d_std / np.sqrt(n) if n > 1 else float("nan")
+    verdict = "WITHIN paired noise" if abs(d_mean) <= mde else "EXCEEDS paired noise (2 SEM)"
+    line += [
+        "",
+        f"Paired per-seed deltas ({a0} − {a1}): "
+        f"{', '.join(f'{d:+.3f}' for d in deltas)} → mean {d_mean:+.4f}, "
+        f"std {d_std:.4f}, minimum detectable effect (2·SEM) {mde:.4f} "
+        f"-> **{verdict}**.",
+        "",
+    ]
     out_lines += line
-    return {"delta": round(delta, 4), "max_seed_std": round(noise, 4), "verdict": verdict}
+    return {
+        "paired_delta_mean": round(d_mean, 4),
+        "paired_delta_std": round(d_std, 4) if d_std == d_std else None,
+        "min_detectable_effect": round(mde, 4) if mde == mde else None,
+        "n_seeds": n,
+        "verdict": verdict,
+    }
 
 
 def main():
@@ -144,7 +214,7 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--experiment", choices=["bn", "pitch", "all"], default="all")
+    ap.add_argument("--experiment", choices=["bn", "pitch", "lowpass", "all"], default="all")
     ap.add_argument("--light", action="store_true",
                     help="CPU-feasible scale: CNN encoder, 48x60 features, "
                          "10 tasks/epoch (deviation semantics unchanged)")
@@ -168,7 +238,9 @@ def main():
         "",
         f"Generated by scripts/ab_deviations.py — backend **{backend}**, "
         f"{args.seeds} seeds x {args.epochs} epochs{' (light scale)' if args.light else ''}, {stamp}.",
-        "Arms share the dataset; each seed re-inits params/episode streams.",
+        "Arms share the dataset; the two arms of a seed share params init, "
+        "episode stream and eval episodes (same PRNG seed; only the knob "
+        "differs), so per-seed deltas are paired.",
         "",
     ]
     summary = {}
@@ -179,6 +251,9 @@ def main():
             n_mels=48 if args.light else 128,
             n_frames=60 if args.light else 157,
             split_fractions=(6, 4, 4), seed=100,
+            # mid-range difficulty: the default gain 4.0 saturates test acc at
+            # 0.94-0.97 where a ceiling clips arm deltas (PARITY_AB r03 run)
+            band_gain=0.55,
         )
         results = {"bn_fused": [], "bn_per_view_group": []}
         for seed in range(args.seeds):
@@ -209,6 +284,26 @@ def main():
             "Pitch shift: clip/zero-pad resample vs duration-preserving phase vocoder "
             "(PARITY.md deviation; torch_audiomentations PitchShift semantics)",
             ("ps_resample", "ps_pv"), results, out_lines,
+        )
+
+    if args.experiment in ("lowpass", "all"):
+        root = make_synthetic_wav_dataset(
+            "/tmp/ab_wav_lp", n_classes=10, items_per_class=10, seconds=1.0,
+            split_fractions=(4, 3, 3), seed=300,
+        )
+        results = {"lp_reference_order": [], "lp_fused": []}
+        for seed in range(args.seeds):
+            for arm, fused in (("lp_reference_order", False), ("lp_fused", True)):
+                exp, mdl = build_lowpass_exp(seed, fused, args.epochs, args.light)
+                r = run_arm(exp, mdl, root)
+                results[arm].append(r)
+                print(f"[lowpass] seed={seed} arm={arm}: {r}", flush=True)
+        summary["lowpass"] = summarize(
+            "LowPass fusion: reference chain order (own FFT pair, noise added "
+            "after lowpass) vs `waveaug_params.fuse_lowpass` (lowpass joins the "
+            "shared spectrum group; the wav-path throughput knob, BASELINE.md "
+            "driver round 4)",
+            ("lp_reference_order", "lp_fused"), results, out_lines,
         )
 
     Path(args.out).write_text("\n".join(out_lines))

@@ -1,0 +1,441 @@
+"""Head-to-head training A/B: this framework vs the ACTUAL reference torch
+code (VERDICT r03 item 2 — the first accuracy-parity evidence that is not
+self-referential).
+
+Both arms train the flagship configuration (Hybrid CRNN encoder + SpecAugment
+4 views + attention fusion + CPL, 5-way 5-shot 5-query, FSD2018 best
+hyperparameters) on the SAME on-disk synthetic dataset, written once in the
+reference's exact layout (features/<class>/*.npy + splits.npy +
+norm_stats/glob_norm.npy), with the same protocol: N epochs x T tasks/epoch,
+per-epoch validation (T tasks, reference src/train_test.py:136 passes
+num_train_tasks as num_val_tasks), early stopping on val accuracy with
+best-model reload, then single-segment test.
+
+  reference arm  /root/reference's own MetaAudioDataset + SpecAugment +
+                 EncoderModule/SelfAttention/ProjectionHead +
+                 ContrastivePrototypicalNetworks + FSL_Loss/CPL_Loss +
+                 contrastive_training_loop + evaluate_single_segment
+                 (loops/loops.py:124,84), torch CPU. Import-time stubs stand
+                 in for torch_audiomentations / pytorch_metric_learning /
+                 torchaudio / audiomentations, none of which the spec-input
+                 CPL path ever touches at runtime (utils/augmentations.py
+                 SpecAugment is pure torch+numpy; AngularLossClass and
+                 WaveAugment are never constructed).
+  ours arm       audio_few_shot_learning_tpu Trainer + run_single_training +
+                 test() under the matched ExperimentConfig (TPU by default).
+
+Runs are long (the reference arm is a per-episode torch-CPU loop at
+~0.1 eps/s on this box), so results accumulate one line per run in a JSONL
+file and `--report` folds whatever has accumulated into a PARITY_AB.md
+section.
+
+  python scripts/ab_vs_reference.py --arm ref  --seeds 0 1 2   # hours (CPU)
+  python scripts/ab_vs_reference.py --arm ours --seeds 0 1 2   # minutes (TPU)
+  python scripts/ab_vs_reference.py --report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+REFERENCE = "/root/reference"
+sys.path.insert(0, str(REPO))
+
+RESULTS = REPO / "experiments" / "ab_vs_reference" / "results.jsonl"
+
+# ---------------------------------------------------------------------------
+# Shared protocol: flagship FSD2018-CPL hparams at A/B scale.
+# ---------------------------------------------------------------------------
+
+N_MELS, N_FRAMES = 128, 157  # reference SpecAugment hardcodes 128 mel bins
+DATASET_SEED = 77
+BAND_GAIN = 0.45  # mid-range accuracy; gain 4.0 saturates (ceiling hides deltas)
+
+
+def experiment_dict(epochs: int, tasks: int, test_tasks: int) -> dict:
+    """The reference experiment_config schema, flagship FSD2018-CPL values
+    (configs/fsd2018_cpl.json = README.md:436-453) at A/B scale."""
+    return {
+        "encoder_name": "Hybrid",
+        "dataset_name": "ab_vs_ref",
+        "use_attention": True,
+        "use_contrastive": True,
+        "input_type": "spec",
+        "n_way_train": 5, "n_way_validation": 5, "n_way_test": 5,
+        "n_shot_train": 5, "n_shot_validation": 5, "n_shot_test": 5,
+        "n_query_train": 5, "n_query_validation": 5, "n_query_test": 5,
+        "train_query_augmentations": True,
+        "validation_query_augmentations": True,
+        "test_query_augmentations": True,
+        "lr": 0.0007,
+        "num_epochs": epochs,
+        "multi_segm": False,
+        "tie_strategy": "",
+        "relation_head": False,
+        "n_training_tasks": tasks,
+        "n_testing_tasks": test_tasks,
+        "device": "cpu",
+        "gpu_index": 0,
+        # milestones beyond the A/B's epoch budget == constant LR in both arms
+        "scheduler_milestones": [20, 40, 60],
+        "scheduler_gamma": 0.4482,
+        "patience": epochs + 1,  # never fires; best-save + reload still exercised
+        "normalize_prototypes": True,
+        "project_prototypes": True,
+        "specaug_params": {
+            "use": True, "mask_param": 16, "W": 22,
+            "num_mask": 1, "mask_value": 0, "p": 0.282,
+        },
+        "waveaug_params": {"use": False, "aug_num": 3},
+        "experiment_folder": "ab_vs_ref",
+        "loss": {
+            "l_param": 2.022308,
+            "cpl": {"use": True, "m_param": 5, "t_param": 9.2361},
+            "angular": {"use": False, "angle": 0, "prototypes_as_anchors": True},
+        },
+    }
+
+
+def model_dict() -> dict:
+    with open(REPO / "configs" / "model_config_fsd2018.json") as f:
+        return json.load(f)
+
+
+def make_dataset() -> Path:
+    from audio_few_shot_learning_tpu.data.datasets import make_synthetic_dataset
+
+    return make_synthetic_dataset(
+        "/tmp/ab_vs_ref",
+        n_classes=16,
+        items_per_class=12,
+        n_mels=N_MELS,
+        n_frames=N_FRAMES,
+        split_fractions=(6, 5, 5),
+        seed=DATASET_SEED,
+        band_gain=BAND_GAIN,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference arm
+# ---------------------------------------------------------------------------
+
+
+def _install_reference_stubs():
+    """sys.modules stubs for packages absent from this image that the
+    reference imports at module scope but the spec-input CPL path never uses
+    at runtime. Constructing any stubbed class raises, so accidental runtime
+    use fails loudly instead of silently diverging."""
+    import types
+
+    class _NeverConstruct:
+        def __init__(self, *a, **k):
+            raise RuntimeError(
+                "stubbed third-party class constructed — the spec-input path "
+                "should never reach this (scripts/ab_vs_reference.py)"
+            )
+
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    try:
+        import torchaudio  # noqa: F401
+    except ImportError:
+        ta = mod("torchaudio")
+        ta.transforms = mod(
+            "torchaudio.transforms",
+            MelSpectrogram=_NeverConstruct,
+            TimeMasking=_NeverConstruct,
+            FrequencyMasking=_NeverConstruct,
+        )
+        ta.functional = mod("torchaudio.functional")
+
+    try:
+        import torch_audiomentations  # noqa: F401
+    except ImportError:
+        names = (
+            "Compose Gain PolarityInversion AddColoredNoise BandPassFilter "
+            "BandStopFilter HighPassFilter LowPassFilter PitchShift Shift "
+            "SpliceOut TimeInversion PeakNormalization AddBackgroundNoise"
+        ).split()
+        mod("torch_audiomentations", **{n: _NeverConstruct for n in names})
+
+    try:
+        import pytorch_metric_learning  # noqa: F401
+    except ImportError:
+        pml = mod("pytorch_metric_learning")
+        pml.losses = mod("pytorch_metric_learning.losses", AngularLoss=_NeverConstruct)
+        pml.miners = mod("pytorch_metric_learning.miners", AngularMiner=_NeverConstruct)
+
+    try:
+        import audiomentations  # noqa: F401
+    except ImportError:
+        mod("audiomentations")
+
+    # numpy 2.x removed the np.Inf alias; the reference's EarlyStopping
+    # (callbacks/early_stopping.py:37) predates that. Restore the alias —
+    # a version shim, not a behavior change.
+    import numpy as np
+
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+
+    try:
+        import librosa  # noqa: F401
+    except ImportError:
+        # reference datasets.py imports librosa at module scope but only the
+        # dead preprocessing_and_augmentations helper and the __main__ plot
+        # harness use it (utils/augmentations.py:547,650)
+        mod("librosa", feature=mod("librosa.feature"))
+
+
+def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int):
+    """One full reference training run (torch CPU), returning test accuracy."""
+    import random
+
+    import numpy as np
+    import torch
+    from torch.optim.lr_scheduler import MultiStepLR
+
+    _install_reference_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+    from datasets.datasets import MetaAudioDataset as RefDataset  # noqa: E402
+    from loops import loops as ref_loops  # noqa: E402
+    from loops.loss import CPL_Loss, FSL_Loss  # noqa: E402
+    from models.main_modules import (  # noqa: E402
+        EncoderModule,
+        ProjectionHead,
+        SelfAttention,
+    )
+    from models.prototypical import ContrastivePrototypicalNetworks  # noqa: E402
+
+    # EarlyStopping writes model.pt under PROJECT_PATH/experiments/<folder>;
+    # /root/reference is read-only, so point the module global at a scratch dir.
+    workdir = Path("/tmp/ab_vs_ref_work") / f"seed{seed}"
+    (workdir / "experiments" / "ab_vs_ref").mkdir(parents=True, exist_ok=True)
+    ref_loops.PROJECT_PATH = str(workdir)
+
+    random.seed(seed)
+    np.random.seed(seed)
+    torch.manual_seed(seed)
+
+    cfg = experiment_dict(epochs, tasks, test_tasks)
+    mcfg = model_dict()
+    train_set = RefDataset(experiment_config=cfg, root=str(root), split="train")
+    val_set = RefDataset(experiment_config=cfg, root=str(root), split="valid")
+    test_set = RefDataset(experiment_config=cfg, root=str(root), split="test")
+
+    backbone = EncoderModule(experiment_config=cfg, model_config=mcfg)
+    attention = SelfAttention(model_config=mcfg)
+    projection = ProjectionHead(model_config=mcfg)
+    model = ContrastivePrototypicalNetworks(
+        backbone=backbone, attention_model=attention, projection_head=projection
+    )
+    fsl = FSL_Loss()
+    cpl = CPL_Loss(T=cfg["loss"]["cpl"]["t_param"], M=cfg["loss"]["cpl"]["m_param"])
+    opt = torch.optim.Adam(model.parameters(), lr=cfg["lr"])
+    sched = MultiStepLR(opt, milestones=cfg["scheduler_milestones"], gamma=cfg["scheduler_gamma"])
+
+    t0 = time.perf_counter()
+    trained = ref_loops.contrastive_training_loop(
+        model=model,
+        train_dataset=train_set,
+        validation_dataset=val_set,
+        optimizer=opt,
+        num_train_tasks=tasks,
+        num_val_tasks=tasks,  # reference passes n_training_tasks (src/train_test.py:136)
+        device="cpu",
+        fsl_loss_fn=fsl,
+        cpl_loss_fn=cpl,
+        l_param=cfg["loss"]["l_param"],
+        epochs=epochs,
+        train_scheduler=sched,
+        patience=cfg["patience"],
+        results_path="ab_vs_ref",
+        project_prototypes=cfg["project_prototypes"],
+        normalize_prototypes=cfg["normalize_prototypes"],
+        n_train_classes=cfg["n_way_train"],
+        n_validation_classes=cfg["n_way_validation"],
+        k_support_train=cfg["n_shot_train"],
+        k_support_validation=cfg["n_shot_validation"],
+        k_query_train=cfg["n_query_train"],
+        k_query_validation=cfg["n_query_validation"],
+        feat_extractor=None,  # spec input: never used (batch_creation.py:138)
+        use_contrastive=True,
+        train_query_augmentations=cfg["train_query_augmentations"],
+        validation_query_augmentations=cfg["validation_query_augmentations"],
+    )
+    mean, std = ref_loops.evaluate_single_segment(
+        model=trained,
+        dataset=test_set,
+        num_val_tasks=test_tasks,
+        device="cpu",
+        n_classes=cfg["n_way_test"],
+        k_support=cfg["n_shot_test"],
+        k_query=cfg["n_query_test"],
+        feat_extractor=None,
+        eval_query_augmentation=cfg["test_query_augmentations"],
+    )
+    return {
+        "arm": "reference_torch",
+        "seed": seed,
+        "test_acc": round(float(mean), 4),
+        "test_acc_task_std": round(float(std), 4),
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Ours arm
+# ---------------------------------------------------------------------------
+
+
+def run_ours_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int,
+                 cpu: bool = False):
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from audio_few_shot_learning_tpu.config import ExperimentConfig, ModelConfig
+    from audio_few_shot_learning_tpu.data.datasets import MetaAudioDataset
+    from audio_few_shot_learning_tpu.train.engine import Trainer
+    from audio_few_shot_learning_tpu.train.experiment import run_single_training
+
+    cfg = experiment_dict(epochs, tasks, test_tasks)
+    cfg["device"] = "cpu" if cpu else "tpu"
+    cfg["tpu"] = {"episode_batch": 1, "eval_episode_batch": 16, "mesh_shape": 1,
+                  "seed": seed, "num_runs": 1}
+    exp = ExperimentConfig.from_dict(cfg)
+    mdl = ModelConfig.from_dict(model_dict())
+
+    load = lambda s: MetaAudioDataset(exp, root, s).to_packed_store()
+    trainer = Trainer(exp, mdl, load("train"), val_store=load("valid"),
+                      test_store=load("test"))
+    t0 = time.perf_counter()
+    log = run_single_training(
+        trainer, results_dir=f"/tmp/ab_vs_ref_work/ours_seed{seed}", run_idx=0,
+        log_fn=lambda *a: None,
+    )
+    test = trainer.test()
+    return {
+        "arm": "ours_jax",
+        "seed": seed,
+        "test_acc": round(float(test["mean_accuracy"]), 4),
+        "test_acc_task_std": round(float(test["accuracy_std"]), 4),
+        "best_val_acc": round(float(log["best_val_accuracy"]), 4),
+        "backend": jax.default_backend(),
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Accumulation + report
+# ---------------------------------------------------------------------------
+
+
+def append_result(row: dict, epochs: int, tasks: int, test_tasks: int):
+    row = {**row, "epochs": epochs, "tasks": tasks, "test_tasks": test_tasks,
+           "band_gain": BAND_GAIN, "dataset_seed": DATASET_SEED}
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def report(out_path: str):
+    import numpy as np
+
+    rows = [json.loads(l) for l in open(RESULTS)] if RESULTS.exists() else []
+    if not rows:
+        print("no results accumulated yet", file=sys.stderr)
+        return
+    arms = {}
+    for r in rows:
+        arms.setdefault(r["arm"], []).append(r)
+    lines = [
+        "### vs reference torch (synthetic): head-to-head training A/B",
+        "",
+        "Both arms = flagship FSD2018-CPL config (Hybrid + SpecAugment 4v + "
+        "attention + CPL, 5w5s5q) on the same on-disk synthetic dataset "
+        f"(16 classes 6/5/5, 128x157, band_gain {BAND_GAIN}), "
+        f"{rows[0]['epochs']} epochs x {rows[0]['tasks']} tasks, "
+        f"{rows[0]['test_tasks']} test tasks. Reference arm runs the actual "
+        "/root/reference code (loops/loops.py:124 contrastive_training_loop) "
+        "on torch-CPU; see scripts/ab_vs_reference.py.",
+        "",
+        "| arm | seed accs (test) | mean ± std (seeds) | mean per-run task std |",
+        "|---|---|---|---|",
+    ]
+    means = {}
+    for arm in sorted(arms):
+        accs = [r["test_acc"] for r in sorted(arms[arm], key=lambda r: r["seed"])]
+        tstd = float(np.mean([r["test_acc_task_std"] for r in arms[arm]]))
+        means[arm] = (float(np.mean(accs)), float(np.std(accs)))
+        lines.append(
+            f"| {arm} | {', '.join(f'{a:.3f}' for a in accs)} | "
+            f"{means[arm][0]:.3f} ± {means[arm][1]:.3f} | {tstd:.3f} |"
+        )
+    lines.append("")
+    if len(means) == 2:
+        (a0, m0), (a1, m1) = sorted(means.items())
+        delta = abs(m0[0] - m1[0])
+        # seed-noise yardstick + the task-sampling SEM of a single run
+        n_test = rows[0]["test_tasks"]
+        sem = float(np.mean([r["test_acc_task_std"] for r in rows])) / np.sqrt(n_test)
+        noise = max(m0[1], m1[1], 1e-9)
+        verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
+        lines += [
+            f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}** "
+            f"(single-run task-sampling SEM ~{sem:.3f}).",
+            "",
+        ]
+    text = "\n".join(lines)
+    print(text)
+    if out_path:
+        Path(out_path).write_text(text + "\n")
+        print(f"wrote {out_path}", file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", choices=["ref", "ours"], default=None)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--tasks", type=int, default=16)
+    ap.add_argument("--test-tasks", type=int, default=150)
+    ap.add_argument("--cpu", action="store_true", help="ours arm on CPU backend")
+    ap.add_argument("--report", action="store_true")
+    ap.add_argument("--out", default="/tmp/ab_vs_reference_section.md")
+    args = ap.parse_args()
+
+    if args.report:
+        report(args.out)
+        return
+    if args.arm is None:
+        ap.error("--arm ref|ours required (or --report)")
+
+    root = make_dataset()
+    for seed in args.seeds:
+        if args.arm == "ref":
+            row = run_reference_arm(root, seed, args.epochs, args.tasks, args.test_tasks)
+        else:
+            row = run_ours_arm(root, seed, args.epochs, args.tasks, args.test_tasks,
+                               cpu=args.cpu)
+        append_result(row, args.epochs, args.tasks, args.test_tasks)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,8 +87,8 @@ class TorchReference:
         for i in range(4):
             blk = bk["ConvEncoder_0"][f"block{i}"]
             conv = torch.nn.Conv2d(1 if i == 0 else 64, 64, 3, padding=1)
-            conv.weight.data = _t(blk["Conv_0"]["kernel"]).permute(3, 2, 0, 1)
-            conv.bias.data = _t(blk["Conv_0"]["bias"])
+            conv.weight.data = _t(blk["kernel"]).permute(3, 2, 0, 1)
+            conv.bias.data = _t(blk["bias"])
             bn = torch.nn.BatchNorm2d(64, eps=1e-5)
             bn.weight.data = _t(blk["BandwidthBatchNorm_0"]["scale"])
             bn.bias.data = _t(blk["BandwidthBatchNorm_0"]["bias"])

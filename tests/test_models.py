@@ -195,8 +195,8 @@ def test_conv_block_gradients_match_torch_reference_order():
     grads_p, grad_x = jax.grad(loss, argnums=(0, 1))(params, jnp.asarray(x))
 
     conv = torch.nn.Conv2d(2, 8, 3, padding=1)
-    conv.weight.data = torch.tensor(np.asarray(params["Conv_0"]["kernel"])).permute(3, 2, 0, 1)
-    conv.bias.data = torch.tensor(np.asarray(params["Conv_0"]["bias"]))
+    conv.weight.data = torch.tensor(np.asarray(params["kernel"])).permute(3, 2, 0, 1)
+    conv.bias.data = torch.tensor(np.asarray(params["bias"]))
     bn = torch.nn.BatchNorm2d(8, eps=1e-5)
     bn.weight.data = torch.tensor(np.asarray(params["BandwidthBatchNorm_0"]["scale"]))
     bn.bias.data = torch.tensor(np.asarray(params["BandwidthBatchNorm_0"]["bias"]))
@@ -208,16 +208,38 @@ def test_conv_block_gradients_match_torch_reference_order():
     out.backward(torch.tensor(np.transpose(cot, (0, 3, 1, 2))))
 
     np.testing.assert_allclose(
-        np.asarray(grads_p["Conv_0"]["kernel"]),
+        np.asarray(grads_p["kernel"]),
         conv.weight.grad.permute(2, 3, 1, 0).numpy(),
         rtol=1e-4, atol=1e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(grads_p["Conv_0"]["bias"]), conv.bias.grad.numpy(), rtol=1e-4, atol=1e-5
+        np.asarray(grads_p["bias"]), conv.bias.grad.numpy(), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(
         np.asarray(grad_x), xt.grad.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("cd,atol", [("float32", 1e-5), ("bfloat16", 6e-2)])
+def test_conv_block_bn_fold_eval_equivalence(cd, atol):
+    """tpu.fold_bn_eval: the folded eval path (BN affine folded into the conv
+    kernel/bias, scripts/bn_fold_eval.py) must equal the plain conv->BN eval
+    path up to compute-dtype rounding, on the SAME variable tree."""
+    from audio_few_shot_learning_tpu.models.encoders import ConvBlock
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 12, 12, 2)).astype(np.float32))
+    plain = ConvBlock(features=8, pool=(3, 3), compute_dtype=cd, fold_bn_eval=False)
+    folded = ConvBlock(features=8, pool=(3, 3), compute_dtype=cd, fold_bn_eval=True)
+    variables = plain.init(jax.random.PRNGKey(2), x, train=False)
+    stats = {
+        "mean": jnp.asarray(rng.normal(0, 0.05, 8).astype(np.float32)),
+        "var": jnp.asarray(rng.uniform(0.8, 1.2, 8).astype(np.float32)),
+    }
+    variables = {"params": variables["params"], "batch_stats": {"BandwidthBatchNorm_0": stats}}
+    out_plain = np.asarray(plain.apply(variables, x, train=False), np.float32)
+    out_fold = np.asarray(folded.apply(variables, x, train=False), np.float32)
+    np.testing.assert_allclose(out_fold, out_plain, atol=atol, rtol=0)
 
 
 def test_projection_head_l2_normalized():

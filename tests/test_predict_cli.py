@@ -106,6 +106,48 @@ def test_predict_episode_shapes_and_determinism(serving_setup):
     np.testing.assert_array_equal(pred1, sc1.argmax(-1))
 
 
+def test_predict_episode_attention_specaug_model(serving_setup):
+    """Flagship-shaped serving: attention + SpecAugment models REQUIRE
+    matched support/query view counts, so predict must augment queries per
+    ``test_query_augmentations`` (regression: predict hardcoded V=1 queries
+    and crashed on every attention+specaug model)."""
+    s = serving_setup
+    exp, _ = _mini_exp(
+        use_attention=True,
+        specaug_params={"use": True, "mask_param": 5, "W": 5,
+                        "num_mask": 1, "mask_value": 0, "p": 0.5},
+    )
+    mdl = ModelConfig.from_dict(
+        {"CNN": {"pool_dim": [2, 2], "hidden_channels": 8, "out_dim": 16},
+         "Attention": {"embed_dim": 16, "num_heads": 1, "ffn_dim": 16, "dropout": 0.1},
+         "Projection": {"input_dim": 64, "hidden_dim": 16, "output_dim": 16}}
+    )
+    tr = Trainer(exp, mdl, s["store"])
+    sup = np.stack([np.load(p) for p in sorted(s["sup_dir"].rglob("*.npy"))])
+    labels = np.repeat(np.arange(3), 3)
+    qry = np.stack([np.load(p) for p in s["queries"]])
+    pred, sc = tr.predict_episode(sup, labels, qry)
+    assert pred.shape == (3,) and sc.shape == (3, 3)
+    assert np.isfinite(sc).all()
+    np.testing.assert_array_equal(pred, sc.argmax(-1))
+
+
+def test_predict_episode_no_attention_augmented_queries(serving_setup):
+    """No-attention + augmented queries: scores must be the original-view
+    block ([Q, n_way]), not the tiled Q*V rows."""
+    s = serving_setup
+    exp, mdl = _mini_exp(
+        specaug_params={"use": True, "mask_param": 5, "W": 5,
+                        "num_mask": 1, "mask_value": 0, "p": 0.5},
+    )
+    tr = Trainer(exp, mdl, s["store"])
+    sup = np.stack([np.load(p) for p in sorted(s["sup_dir"].rglob("*.npy"))])
+    labels = np.repeat(np.arange(3), 3)
+    qry = np.stack([np.load(p) for p in s["queries"]])
+    pred, sc = tr.predict_episode(sup, labels, qry)
+    assert pred.shape == (3,) and sc.shape == (3, 3)
+
+
 def test_predict_cli_end_to_end(serving_setup, tmp_path, capsys):
     s = serving_setup
     from audio_few_shot_learning_tpu.cli.predict import main
