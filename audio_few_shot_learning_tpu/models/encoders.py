@@ -227,6 +227,9 @@ class ConvBlock(nn.Module):
         # positive argmax either way) but applies the relu mask to the
         # pool^2-times-smaller map, cutting full-size elementwise HBM traffic
         # in the backward (block0 fwd+bwd 4.6 -> 3.8 ms measured on v5e).
+        # reduce_window is the fastest pool formulation on this chip
+        # (ARCHITECTURE.md lesson 6; re-confirmed at the r4 tree by
+        # scripts/backward_anatomy.py against reshape-max and strided-max).
         x = nn.max_pool(x[:, :h, :w, :], (ph, pw), strides=(ph, pw), padding="VALID")
         return nn.relu(x)
 

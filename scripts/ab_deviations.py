@@ -147,7 +147,26 @@ def build_lowpass_exp(seed: int, fused: bool, epochs: int, light: bool = False):
     return exp, mdl
 
 
-def run_arm(exp, mdl, root):
+CACHE = Path("/tmp/ab_deviations_cache.jsonl")
+
+
+def _cache_key(experiment: str, arm: str, seed: int, epochs: int, light: bool) -> str:
+    return f"{experiment}/{arm}/seed{seed}/ep{epochs}/{'light' if light else 'full'}"
+
+
+def _cache_load() -> dict:
+    if not CACHE.exists():
+        return {}
+    return {row["key"]: row["result"] for row in map(json.loads, open(CACHE))}
+
+
+def run_arm(exp, mdl, root, key=None, cache=None):
+    """Train one arm; completed runs persist to a JSONL cache keyed on
+    (experiment, arm, seed, epochs, scale) so a killed background process
+    resumes instead of re-paying finished runs."""
+    if cache is not None and key in cache:
+        return {**cache[key], "cached": True}
+
     from audio_few_shot_learning_tpu.data.datasets import MetaAudioDataset
     from audio_few_shot_learning_tpu.train.engine import Trainer
 
@@ -158,11 +177,15 @@ def run_arm(exp, mdl, root):
         tr.train_epoch()
     val_mean, _ = tr.validate()
     test = tr.test()
-    return {
+    result = {
         "val_acc": round(float(val_mean), 4),
         "test_acc": round(float(test["mean_accuracy"]), 4),
         "train_seconds": round(time.perf_counter() - t0, 1),
     }
+    if key is not None:
+        with open(CACHE, "a") as f:
+            f.write(json.dumps({"key": key, "result": result}) + "\n")
+    return result
 
 
 def summarize(name, arm_names, results, out_lines):
@@ -232,6 +255,9 @@ def main():
     )
 
     backend = jax.default_backend()
+    cache = _cache_load()
+    if cache:
+        print(f"resuming: {len(cache)} completed runs in {CACHE}", flush=True)
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     out_lines = [
         "# Deviation A/B bounds (synthetic data)",
@@ -259,7 +285,8 @@ def main():
         for seed in range(args.seeds):
             for arm, grouped in (("bn_fused", False), ("bn_per_view_group", True)):
                 exp, mdl = build_spec_exp(seed, grouped, args.epochs, args.light)
-                r = run_arm(exp, mdl, root)
+                r = run_arm(exp, mdl, root,
+                            _cache_key("bn", arm, seed, args.epochs, args.light), cache)
                 results[arm].append(r)
                 print(f"[bn] seed={seed} arm={arm}: {r}", flush=True)
         summary["bn"] = summarize(
@@ -277,7 +304,8 @@ def main():
         for seed in range(args.seeds):
             for arm, pv in (("ps_resample", False), ("ps_pv", True)):
                 exp, mdl = build_wav_exp(seed, pv, args.epochs, args.light)
-                r = run_arm(exp, mdl, root)
+                r = run_arm(exp, mdl, root,
+                            _cache_key("pitch", arm, seed, args.epochs, args.light), cache)
                 results[arm].append(r)
                 print(f"[pitch] seed={seed} arm={arm}: {r}", flush=True)
         summary["pitch"] = summarize(
@@ -295,7 +323,8 @@ def main():
         for seed in range(args.seeds):
             for arm, fused in (("lp_reference_order", False), ("lp_fused", True)):
                 exp, mdl = build_lowpass_exp(seed, fused, args.epochs, args.light)
-                r = run_arm(exp, mdl, root)
+                r = run_arm(exp, mdl, root,
+                            _cache_key("lowpass", arm, seed, args.epochs, args.light), cache)
                 results[arm].append(r)
                 print(f"[lowpass] seed={seed} arm={arm}: {r}", flush=True)
         summary["lowpass"] = summarize(
