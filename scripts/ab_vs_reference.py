@@ -58,21 +58,37 @@ DATASET_SEED = 77
 BAND_GAIN = 0.45  # mid-range accuracy; gain 4.0 saturates (ceiling hides deltas)
 
 
-def experiment_dict(epochs: int, tasks: int, test_tasks: int) -> dict:
-    """The reference experiment_config schema, flagship FSD2018-CPL values
-    (configs/fsd2018_cpl.json = README.md:436-453) at A/B scale."""
+def experiment_dict(epochs: int, tasks: int, test_tasks: int,
+                    loss: str = "cpl") -> dict:
+    """The reference experiment_config schema at A/B scale.
+
+    loss="cpl"    flagship FSD2018-CPL values (configs/fsd2018_cpl.json =
+                  README.md:436-453): Hybrid + attention + SpecAugment 4
+                  views + CPL.
+    loss="plain"  the plain-ProtoNet family (configs/fsd2018_plain.json):
+                  no attention, no contrastive term, no SpecAugment views —
+                  the reference routes this through the SAME
+                  contrastive_training_loop with use_contrastive=False and
+                  ContrastivePrototypicalNetworksWithoutAttention
+                  (src/train_test.py:109-114, loops/loops.py:43-59).
+    (An APL arm is impossible to run honestly here: the reference's
+    AngularLossClass wraps pytorch_metric_learning's AngularLoss, absent
+    from this image — a reimplementation would no longer be the reference.)
+    """
+    assert loss in ("cpl", "plain")
+    cpl = loss == "cpl"
     return {
         "encoder_name": "Hybrid",
         "dataset_name": "ab_vs_ref",
-        "use_attention": True,
-        "use_contrastive": True,
+        "use_attention": cpl,
+        "use_contrastive": cpl,
         "input_type": "spec",
         "n_way_train": 5, "n_way_validation": 5, "n_way_test": 5,
         "n_shot_train": 5, "n_shot_validation": 5, "n_shot_test": 5,
         "n_query_train": 5, "n_query_validation": 5, "n_query_test": 5,
-        "train_query_augmentations": True,
-        "validation_query_augmentations": True,
-        "test_query_augmentations": True,
+        "train_query_augmentations": cpl,
+        "validation_query_augmentations": cpl,
+        "test_query_augmentations": cpl,
         "lr": 0.0007,
         "num_epochs": epochs,
         "multi_segm": False,
@@ -89,14 +105,14 @@ def experiment_dict(epochs: int, tasks: int, test_tasks: int) -> dict:
         "normalize_prototypes": True,
         "project_prototypes": True,
         "specaug_params": {
-            "use": True, "mask_param": 16, "W": 22,
+            "use": cpl, "mask_param": 16, "W": 22,
             "num_mask": 1, "mask_value": 0, "p": 0.282,
         },
         "waveaug_params": {"use": False, "aug_num": 3},
         "experiment_folder": "ab_vs_ref",
         "loss": {
-            "l_param": 2.022308,
-            "cpl": {"use": True, "m_param": 5, "t_param": 9.2361},
+            "l_param": 2.022308 if cpl else 0.0,
+            "cpl": {"use": cpl, "m_param": 5, "t_param": 9.2361 if cpl else 1.0},
             "angular": {"use": False, "angle": 0, "prototypes_as_anchors": True},
         },
     }
@@ -199,7 +215,8 @@ def _install_reference_stubs():
         mod("librosa", feature=mod("librosa.feature"))
 
 
-def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int):
+def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int,
+                      loss: str = "cpl"):
     """One full reference training run (torch CPU), returning test accuracy."""
     import random
 
@@ -219,7 +236,10 @@ def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks
         ProjectionHead,
         SelfAttention,
     )
-    from models.prototypical import ContrastivePrototypicalNetworks  # noqa: E402
+    from models.prototypical import (  # noqa: E402
+        ContrastivePrototypicalNetworks,
+        ContrastivePrototypicalNetworksWithoutAttention,
+    )
 
     # EarlyStopping writes model.pt under PROJECT_PATH/experiments/<folder>;
     # /root/reference is read-only, so point the module global at a scratch dir.
@@ -231,20 +251,30 @@ def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks
     np.random.seed(seed)
     torch.manual_seed(seed)
 
-    cfg = experiment_dict(epochs, tasks, test_tasks)
+    cfg = experiment_dict(epochs, tasks, test_tasks, loss=loss)
     mcfg = model_dict()
     train_set = RefDataset(experiment_config=cfg, root=str(root), split="train")
     val_set = RefDataset(experiment_config=cfg, root=str(root), split="valid")
     test_set = RefDataset(experiment_config=cfg, root=str(root), split="test")
 
+    # Construction order mirrors src/train_test.py:106-114 AND the original
+    # CPL-only version of this script (backbone -> attention -> projection),
+    # so the torch RNG stream — and thus every accumulated CPL-family row —
+    # stays reproducible.
     backbone = EncoderModule(experiment_config=cfg, model_config=mcfg)
     attention = SelfAttention(model_config=mcfg)
     projection = ProjectionHead(model_config=mcfg)
-    model = ContrastivePrototypicalNetworks(
-        backbone=backbone, attention_model=attention, projection_head=projection
-    )
+    if cfg["use_attention"]:
+        model = ContrastivePrototypicalNetworks(
+            backbone=backbone, attention_model=attention, projection_head=projection
+        )
+    else:  # plain family: src/train_test.py:114
+        model = ContrastivePrototypicalNetworksWithoutAttention(
+            backbone=backbone, projection_head=projection
+        )
     fsl = FSL_Loss()
-    cpl = CPL_Loss(T=cfg["loss"]["cpl"]["t_param"], M=cfg["loss"]["cpl"]["m_param"])
+    cpl = (CPL_Loss(T=cfg["loss"]["cpl"]["t_param"], M=cfg["loss"]["cpl"]["m_param"])
+           if cfg["loss"]["cpl"]["use"] else None)
     opt = torch.optim.Adam(model.parameters(), lr=cfg["lr"])
     sched = MultiStepLR(opt, milestones=cfg["scheduler_milestones"], gamma=cfg["scheduler_gamma"])
 
@@ -273,7 +303,7 @@ def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks
         k_query_train=cfg["n_query_train"],
         k_query_validation=cfg["n_query_validation"],
         feat_extractor=None,  # spec input: never used (batch_creation.py:138)
-        use_contrastive=True,
+        use_contrastive=cfg["use_contrastive"],
         train_query_augmentations=cfg["train_query_augmentations"],
         validation_query_augmentations=cfg["validation_query_augmentations"],
     )
@@ -290,6 +320,7 @@ def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks
     )
     return {
         "arm": "reference_torch",
+        "loss": loss,
         "seed": seed,
         "test_acc": round(float(mean), 4),
         "test_acc_task_std": round(float(std), 4),
@@ -303,7 +334,7 @@ def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks
 
 
 def run_ours_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int,
-                 cpu: bool = False):
+                 cpu: bool = False, loss: str = "cpl"):
     import jax
 
     if cpu:
@@ -314,7 +345,7 @@ def run_ours_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int
     from audio_few_shot_learning_tpu.train.engine import Trainer
     from audio_few_shot_learning_tpu.train.experiment import run_single_training
 
-    cfg = experiment_dict(epochs, tasks, test_tasks)
+    cfg = experiment_dict(epochs, tasks, test_tasks, loss=loss)
     cfg["device"] = "cpu" if cpu else "tpu"
     cfg["tpu"] = {"episode_batch": 1, "eval_episode_batch": 16, "mesh_shape": 1,
                   "seed": seed, "num_runs": 1}
@@ -332,6 +363,7 @@ def run_ours_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int
     test = trainer.test()
     return {
         "arm": "ours_jax",
+        "loss": loss,
         "seed": seed,
         "test_acc": round(float(test["mean_accuracy"]), 4),
         "test_acc_task_std": round(float(test["accuracy_std"]), 4),
@@ -362,46 +394,61 @@ def report(out_path: str):
     if not rows:
         print("no results accumulated yet", file=sys.stderr)
         return
-    arms = {}
+    FAMILY_DESC = {
+        "cpl": "flagship FSD2018-CPL config (Hybrid + SpecAugment 4v + "
+               "attention + CPL, 5w5s5q)",
+        "plain": "plain-ProtoNet family (Hybrid, no attention, no "
+                 "contrastive term, no SpecAugment views; "
+                 "configs/fsd2018_plain.json semantics, 5w5s5q)",
+    }
+    families = {}
     for r in rows:
-        arms.setdefault(r["arm"], []).append(r)
+        families.setdefault(r.get("loss", "cpl"), []).append(r)
     lines = [
         "### vs reference torch (synthetic): head-to-head training A/B",
         "",
-        "Both arms = flagship FSD2018-CPL config (Hybrid + SpecAugment 4v + "
-        "attention + CPL, 5w5s5q) on the same on-disk synthetic dataset "
+        "Both arms train on the same on-disk synthetic dataset "
         f"(16 classes 6/5/5, 128x157, band_gain {BAND_GAIN}), "
         f"{rows[0]['epochs']} epochs x {rows[0]['tasks']} tasks, "
         f"{rows[0]['test_tasks']} test tasks. Reference arm runs the actual "
         "/root/reference code (loops/loops.py:124 contrastive_training_loop) "
         "on torch-CPU; see scripts/ab_vs_reference.py.",
         "",
-        "| arm | seed accs (test) | mean ± std (seeds) | mean per-run task std |",
-        "|---|---|---|---|",
     ]
-    means = {}
-    for arm in sorted(arms):
-        accs = [r["test_acc"] for r in sorted(arms[arm], key=lambda r: r["seed"])]
-        tstd = float(np.mean([r["test_acc_task_std"] for r in arms[arm]]))
-        means[arm] = (float(np.mean(accs)), float(np.std(accs)))
-        lines.append(
-            f"| {arm} | {', '.join(f'{a:.3f}' for a in accs)} | "
-            f"{means[arm][0]:.3f} ± {means[arm][1]:.3f} | {tstd:.3f} |"
-        )
-    lines.append("")
-    if len(means) == 2:
-        (a0, m0), (a1, m1) = sorted(means.items())
-        delta = abs(m0[0] - m1[0])
-        # seed-noise yardstick + the task-sampling SEM of a single run
-        n_test = rows[0]["test_tasks"]
-        sem = float(np.mean([r["test_acc_task_std"] for r in rows])) / np.sqrt(n_test)
-        noise = max(m0[1], m1[1], 1e-9)
-        verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
+    for fam in sorted(families):
+        frows = families[fam]
+        arms = {}
+        for r in frows:
+            arms.setdefault(r["arm"], []).append(r)
         lines += [
-            f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}** "
-            f"(single-run task-sampling SEM ~{sem:.3f}).",
+            f"#### loss family: {fam} — {FAMILY_DESC.get(fam, fam)}",
             "",
+            "| arm | seed accs (test) | mean ± std (seeds) | mean per-run task std |",
+            "|---|---|---|---|",
         ]
+        means = {}
+        for arm in sorted(arms):
+            accs = [r["test_acc"] for r in sorted(arms[arm], key=lambda r: r["seed"])]
+            tstd = float(np.mean([r["test_acc_task_std"] for r in arms[arm]]))
+            means[arm] = (float(np.mean(accs)), float(np.std(accs)))
+            lines.append(
+                f"| {arm} | {', '.join(f'{a:.3f}' for a in accs)} | "
+                f"{means[arm][0]:.3f} ± {means[arm][1]:.3f} | {tstd:.3f} |"
+            )
+        lines.append("")
+        if len(means) == 2:
+            (a0, m0), (a1, m1) = sorted(means.items())
+            delta = abs(m0[0] - m1[0])
+            # seed-noise yardstick + the task-sampling SEM of a single run
+            n_test = frows[0]["test_tasks"]
+            sem = float(np.mean([r["test_acc_task_std"] for r in frows])) / np.sqrt(n_test)
+            noise = max(m0[1], m1[1], 1e-9)
+            verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
+            lines += [
+                f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}** "
+                f"(single-run task-sampling SEM ~{sem:.3f}).",
+                "",
+            ]
     text = "\n".join(lines)
     print(text)
     if out_path:
@@ -417,6 +464,8 @@ def main():
     ap.add_argument("--tasks", type=int, default=16)
     ap.add_argument("--test-tasks", type=int, default=150)
     ap.add_argument("--cpu", action="store_true", help="ours arm on CPU backend")
+    ap.add_argument("--loss", choices=["cpl", "plain"], default="cpl",
+                    help="loss family for both arms (see experiment_dict)")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--out", default="/tmp/ab_vs_reference_section.md")
     args = ap.parse_args()
@@ -430,10 +479,11 @@ def main():
     root = make_dataset()
     for seed in args.seeds:
         if args.arm == "ref":
-            row = run_reference_arm(root, seed, args.epochs, args.tasks, args.test_tasks)
+            row = run_reference_arm(root, seed, args.epochs, args.tasks,
+                                    args.test_tasks, loss=args.loss)
         else:
             row = run_ours_arm(root, seed, args.epochs, args.tasks, args.test_tasks,
-                               cpu=args.cpu)
+                               cpu=args.cpu, loss=args.loss)
         append_result(row, args.epochs, args.tasks, args.test_tasks)
 
 
