@@ -2,10 +2,11 @@
 code (VERDICT r03 item 2 — the first accuracy-parity evidence that is not
 self-referential).
 
-Both arms train the flagship configuration (Hybrid CRNN encoder + SpecAugment
-4 views + attention fusion + CPL, 5-way 5-shot 5-query, FSD2018 best
-hyperparameters) on the SAME on-disk synthetic dataset, written once in the
-reference's exact layout (features/<class>/*.npy + splits.npy +
+Both arms train the same loss family (--loss cpl: flagship Hybrid CRNN
+encoder + SpecAugment 4 views + attention fusion + CPL; --loss plain:
+no-attention/no-contrastive plain ProtoNet; 5-way 5-shot 5-query, FSD2018
+best hyperparameters) on the SAME on-disk synthetic dataset, written once in
+the reference's exact layout (features/<class>/*.npy + splits.npy +
 norm_stats/glob_norm.npy), with the same protocol: N epochs x T tasks/epoch,
 per-epoch validation (T tasks, reference src/train_test.py:136 passes
 num_train_tasks as num_val_tasks), early stopping on val accuracy with
