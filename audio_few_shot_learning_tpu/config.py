@@ -150,6 +150,12 @@ class TPUConfig:
     # models or raise it on bigger chips without touching engine code.
     eval_segment_budget: Optional[int] = None
     store_dtype: str = "float32"
+    # Keep the packed split in host RAM and stream sampled episode batches to
+    # the device per step (data/hoststore.py) instead of the HBM-resident
+    # PackedStore. None = auto: host-resident only when the packed split
+    # would not fit beside the training program (> ~60% of the device's
+    # reported HBM). True/False force. Spec input only.
+    host_store: Optional[bool] = None
     seed: int = 0
     num_runs: int = 5  # reference hardcodes 5 repeated runs (src/train_test.py:103)
     # A/B knob (scripts/ab_deviations.py): emulate the reference's BatchNorm

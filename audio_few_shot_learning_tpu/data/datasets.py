@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple, Union
 import numpy as np
 
 from audio_few_shot_learning_tpu.config import ExperimentConfig
-from audio_few_shot_learning_tpu.data.store import PackedStore
+from audio_few_shot_learning_tpu.data.store import PackedStore, resolve_store_dtype
 
 _SPLIT_IDX = {"train": 0, "valid": 1, "test": 2}
 
@@ -74,11 +74,11 @@ class MetaAudioDataset:
             x = (x - self.mean) / self.std
         return x, self.labels[item]
 
-    def _to_packed_store_native(self, device=None, dtype=np.float32):
+    def _pack_flat_native(self, dtype=np.float32):
         """Fast path: the C++ packer (native/npy_pack.cc) parses/streams/
         normalizes every .npy on a thread pool straight into the packed
-        buffer (float32 or bfloat16). Returns None when unavailable or
-        shapes are irregular."""
+        buffer (float32 or bfloat16). Returns ``(segments, seg_counts)``
+        host arrays, or None when unavailable or shapes are irregular."""
         from audio_few_shot_learning_tpu.data import native_pack
 
         if self.input_type != "spec" or not native_pack.native_available():
@@ -110,9 +110,47 @@ class MetaAudioDataset:
         )
         if not ok:
             return None
+        return out, seg_counts
+
+    def _to_packed_store_native(self, device=None, dtype=np.float32):
+        flat = self._pack_flat_native(dtype)
+        if flat is None:
+            return None
         return PackedStore.from_flat_arrays(
-            out, seg_counts, self.labels, len(self.class_names), device=device
+            flat[0], flat[1], self.labels, len(self.class_names), device=device
         )
+
+    def to_host_store(self, dtype=np.float32, use_native: bool = True):
+        """Pack the split into host RAM (data/hoststore.py) — for splits that
+        do not fit HBM beside the training program; episodes stream per step."""
+        from audio_few_shot_learning_tpu.data.hoststore import HostStore
+
+        if self.input_type != "spec":
+            raise NotImplementedError("host-resident store: spec input only")
+        dtype = resolve_store_dtype(dtype)
+        if use_native:
+            flat = self._pack_flat_native(dtype)
+            if flat is not None:
+                return HostStore.from_flat_arrays(
+                    flat[0], flat[1], self.labels, len(self.class_names)
+                )
+        items = [np.load(p, allow_pickle=True) for p in self.filepaths]
+        return HostStore.pack(
+            items,
+            self.labels,
+            n_classes=len(self.class_names),
+            mean=self.mean,
+            std=self.std,
+            dtype=dtype,
+        )
+
+    def estimated_packed_bytes(self, dtype=np.float32) -> int:
+        """Cheap packed-split size estimate from on-disk payload sizes (spec
+        .npy files are float32; scale to the store dtype) — lets the
+        host/device auto-selection run without reading any file bodies."""
+        itemsize = resolve_store_dtype(dtype).itemsize
+        total = sum(p.stat().st_size for p in self.filepaths)
+        return int(total * (itemsize / 4.0))
 
     def to_packed_store(self, dtype=np.float32, device=None, use_native: bool = True):
         from audio_few_shot_learning_tpu.data.store import resolve_store_dtype
@@ -148,12 +186,48 @@ class MetaAudioDataset:
         )
 
 
+# Auto host/device selection: keep the split on the host when the packed
+# array would take more than this fraction of the device's reported HBM —
+# the rest must hold the model, optimizer, activations and the double-
+# buffered scan (the measured flagship residency anchor lives in
+# Trainer._eval_segment_budget; 0.6 leaves it ~2x headroom).
+HOST_STORE_HBM_FRACTION = 0.6
+
+
+def _device_hbm_bytes(device=None) -> Optional[int]:
+    """The device's reported memory limit, or None (CPU backend)."""
+    import jax
+
+    try:
+        dev = device if device is not None else jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        return int(limit) if limit else None
+    except Exception:
+        return None
+
+
 def load_packed_split(
     exp: ExperimentConfig, root: Union[str, Path], split: str, dtype=None, device=None
-) -> PackedStore:
+):
+    """Load one split as a device-resident PackedStore/PackedWavStore or — for
+    spec splits that would not fit HBM beside the training program — a
+    host-resident HostStore (data/hoststore.py) streaming episodes per step.
+    ``exp.tpu.host_store`` forces either way; None = size-based auto."""
     if dtype is None:
         dtype = exp.tpu.store_dtype  # 'float32' | 'bfloat16' (TPUConfig)
-    return MetaAudioDataset(exp, root, split).to_packed_store(dtype=dtype, device=device)
+    ds = MetaAudioDataset(exp, root, split)
+    force = exp.tpu.host_store
+    if force is True:
+        return ds.to_host_store(dtype=dtype)  # raises for wav input
+    if force is None and ds.input_type == "spec":
+        limit = _device_hbm_bytes(device)
+        if (
+            limit is not None
+            and ds.estimated_packed_bytes(dtype) > HOST_STORE_HBM_FRACTION * limit
+        ):
+            return ds.to_host_store(dtype=dtype)
+    return ds.to_packed_store(dtype=dtype, device=device)
 
 
 def make_synthetic_wav_dataset(

@@ -33,6 +33,7 @@ from audio_few_shot_learning_tpu.data.episodes import (
     sample_episode,
     sample_wav_episode,
 )
+from audio_few_shot_learning_tpu.data.hoststore import HostStore
 from audio_few_shot_learning_tpu.data.store import PackedStore
 from audio_few_shot_learning_tpu.losses import angular_loss, cpl_loss, fsl_loss
 from audio_few_shot_learning_tpu.ops.mel import MelSpec
@@ -57,6 +58,19 @@ def _l2norm(x, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
+def _np_rng_from_key(key: jax.Array) -> np.random.Generator:
+    """Numpy Generator deterministically seeded from a jax PRNG key — the
+    host sampler's RNG, derived from the checkpointed run key so resumed
+    host-mode runs replay the same episode stream."""
+    try:
+        data = jax.random.key_data(key)
+    except (TypeError, ValueError):
+        data = key
+    return np.random.default_rng(
+        [int(x) for x in np.asarray(data, dtype=np.uint32).ravel()]
+    )
+
+
 class Trainer:
     """Owns the model, optimizer, compiled step functions and the stores."""
 
@@ -75,6 +89,15 @@ class Trainer:
         self.train_store = train_store
         self.val_store = val_store
         self.test_store = test_store
+        # HostStore = split stays in host RAM, episodes stream per step
+        # (datasets bigger than HBM; see data/hoststore.py)
+        self.host_mode = isinstance(train_store, HostStore)
+        if self.host_mode and exp.input_type == "wav":
+            raise NotImplementedError(
+                "host-resident streaming is implemented for spec stores; wav "
+                "splits are far smaller than their spec counterparts and use "
+                "the device-resident PackedWavStore"
+            )
         self.mesh = mesh if mesh is not None else make_mesh(exp.tpu.mesh_shape)
 
         # hot-path kernel selection: the tpu.use_pallas knob gates every
@@ -133,6 +156,7 @@ class Trainer:
             v_query=self._v_query(exp.train_query_augmentations),
         )
         self._epoch_fn = None
+        self._host_step_fn = None
         self._eval_fns: Dict = {}
         # throughput accounting
         self.last_epoch_seconds: Optional[float] = None
@@ -311,16 +335,29 @@ class Trainer:
 
     def _train_step(self, state: TrainState, store: PackedStore, key: jax.Array):
         exp = self.exp
-        n_way = exp.n_way_train
-        vq = self._v_query(exp.train_query_augmentations)
         k_sample, k_loss = jax.random.split(key)
         ep_keys = jax.random.split(k_sample, self.episode_batch)
         sampler = sample_wav_episode if self.is_wav else sample_episode
         ep = jax.vmap(
             lambda k: sampler(
-                k, store, n_way, exp.n_shot_train, exp.n_query_train, False
+                k, store, exp.n_way_train, exp.n_shot_train, exp.n_query_train, False
             )
         )(ep_keys)
+        return self._apply_train_step(state, ep, k_loss, store)
+
+    def _apply_train_step(
+        self,
+        state: TrainState,
+        ep: EpisodeBatch,
+        k_loss: jax.Array,
+        store: Optional[PackedStore] = None,
+    ):
+        """Gradient step on an already-assembled episode batch — the shared
+        tail of the device-sampled scan step and the host-fed streaming step
+        (HostStore path; ``store`` only feeds the wav mel-norm stats)."""
+        exp = self.exp
+        n_way = exp.n_way_train
+        vq = self._v_query(exp.train_query_augmentations)
 
         grad_fn = jax.value_and_grad(self._loss_and_metrics, has_aux=True)
         m = self.microbatch
@@ -380,13 +417,48 @@ class Trainer:
 
         return epoch_fn
 
+    def _run_epoch_hostfed(self, key: jax.Array):
+        """Streaming epoch over a HostStore: the host sampler assembles each
+        episode batch (reference random.sample semantics) while the device
+        runs the previous step — JAX dispatch is async, so the python loop
+        only blocks on the device_put/step of an already-running pipeline.
+        The numpy sampler is seeded from the (checkpointed) run key, so
+        resumed runs replay the same episode stream."""
+        exp = self.exp
+        if self._host_step_fn is None:
+            self._host_step_fn = jax.jit(
+                lambda st, ep, k: self._apply_train_step(st, ep, k), donate_argnums=0
+            )
+        rng = _np_rng_from_key(key)
+        step_keys = jax.random.split(key, self.steps_per_epoch)
+        per_step = []
+        for i in range(self.steps_per_epoch):
+            ep = self.train_store.sample_episode_batch(
+                rng,
+                exp.n_way_train,
+                exp.n_shot_train,
+                exp.n_query_train,
+                is_test=False,
+                batch=self.episode_batch,
+            )
+            self.state, metrics = self._host_step_fn(self.state, ep, step_keys[i])
+            per_step.append(metrics)  # device scalars; don't sync mid-epoch
+        return {
+            name: jnp.stack([m[name] for m in per_step]) for name in per_step[0]
+        }
+
     def train_epoch(self) -> Dict[str, float]:
-        """One epoch == one device execution (scan over fused steps)."""
-        if self._epoch_fn is None:
-            self._epoch_fn = self._build_epoch_fn()
+        """One epoch == one device execution (scan over fused steps); for a
+        host-resident split (HostStore), one per-step program fed by the host
+        sampler with async-dispatch overlap."""
         self.run_key, k = jax.random.split(self.run_key)
         t0 = time.perf_counter()
-        self.state, metrics = self._epoch_fn(self.state, self.train_store, k)
+        if self.host_mode:
+            metrics = self._run_epoch_hostfed(k)
+        else:
+            if self._epoch_fn is None:
+                self._epoch_fn = self._build_epoch_fn()
+            self.state, metrics = self._epoch_fn(self.state, self.train_store, k)
         metrics = jax.device_get(metrics)
         self.last_epoch_seconds = time.perf_counter() - t0
         out = {name: float(np.mean(vals)) for name, vals in metrics.items()}
@@ -423,14 +495,36 @@ class Trainer:
         batch: int,
     ) -> jnp.ndarray:
         """Accuracies for one batch of eval episodes. Returns [batch]."""
-        exp = self.exp
-        vq = self._v_query(augment_query)
-        k_sample, k_aug_s, k_aug_q = jax.random.split(key, 3)
+        k_sample, k_score = jax.random.split(key)
         ep_keys = jax.random.split(k_sample, batch)
         sampler = sample_wav_episode if self.is_wav else sample_episode
         ep = jax.vmap(
             lambda k: sampler(k, store, n_way, k_shot, k_query, multisegment)
         )(ep_keys)
+        return self._eval_episodes(
+            state, ep, k_score, n_way, augment_query, multisegment,
+            tie_strategy, store.s_max, store,
+        )
+
+    def _eval_episodes(
+        self,
+        state: TrainState,
+        ep: EpisodeBatch,
+        key: jax.Array,
+        n_way: int,
+        augment_query: bool,
+        multisegment: bool,
+        tie_strategy: str,
+        s_max: int,
+        store: Optional[PackedStore] = None,
+    ) -> jnp.ndarray:
+        """Score an already-assembled eval episode batch — shared tail of the
+        device-sampled eval program and the host-fed (HostStore) eval path.
+        ``store`` only feeds the wav mel-norm stats."""
+        exp = self.exp
+        vq = self._v_query(augment_query)
+        batch = ep.support.shape[0]
+        k_aug_s, k_aug_q = jax.random.split(key)
         ep = self._shard_episodes(ep)
 
         if self.is_wav:
@@ -462,7 +556,7 @@ class Trainer:
         # audio_ids are never tiled (loops/loops.py:257-277) — votes use the
         # original-view block, which is first in view-major order.
         qtot = ep.query.shape[1]  # Q * S_max rows (original view)
-        smax = store.s_max
+        smax = s_max
         q = qtot // smax
         scores0 = outs.scores[:, :qtot]
         preds = jnp.argmax(scores0, axis=-1).reshape(batch, q, smax)
@@ -524,26 +618,46 @@ class Trainer:
             # (s_max=6 x batch 6 -> 73.7 eval eps/s vs 38.9).
             seg_budget = self._eval_segment_budget(store)
             batch = max(1, min(batch, seg_budget // max(store.s_max, 1)))
-        cache_key = (store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
+        is_host = isinstance(store, HostStore)
+        cache_key = ("host" if is_host else "dev", store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
         if cache_key not in self._eval_fns:
-            self._eval_fns[cache_key] = jax.jit(
-                functools.partial(
-                    self._eval_batch,
-                    n_way=n_way,
-                    k_shot=k_shot,
-                    k_query=k_query,
-                    augment_query=augment_query,
-                    multisegment=multisegment,
-                    tie_strategy=tie_strategy,
-                    batch=batch,
+            if is_host:
+                self._eval_fns[cache_key] = jax.jit(
+                    functools.partial(
+                        self._eval_episodes,
+                        n_way=n_way,
+                        augment_query=augment_query,
+                        multisegment=multisegment,
+                        tie_strategy=tie_strategy,
+                        s_max=store.s_max,
+                    )
                 )
-            )
+            else:
+                self._eval_fns[cache_key] = jax.jit(
+                    functools.partial(
+                        self._eval_batch,
+                        n_way=n_way,
+                        k_shot=k_shot,
+                        k_query=k_query,
+                        augment_query=augment_query,
+                        multisegment=multisegment,
+                        tie_strategy=tie_strategy,
+                        batch=batch,
+                    )
+                )
         fn = self._eval_fns[cache_key]
         accs = []
         remaining = n_tasks
         while remaining > 0:
             self.run_key, k = jax.random.split(self.run_key)
-            accs.append(np.asarray(jax.device_get(fn(self.state, store, k))))
+            if is_host:
+                ep = store.sample_episode_batch(
+                    _np_rng_from_key(k), n_way, k_shot, k_query,
+                    is_test=multisegment, batch=batch,
+                )
+                accs.append(np.asarray(jax.device_get(fn(self.state, ep, k))))
+            else:
+                accs.append(np.asarray(jax.device_get(fn(self.state, store, k))))
             remaining -= batch
         accs = np.concatenate(accs)[:n_tasks]
         return float(accs.mean()), float(accs.std())

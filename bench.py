@@ -51,6 +51,22 @@ def make_store(multiseg=False):
     return PackedStore.pack(items, labels, n_classes=n_classes)
 
 
+def make_host_store():
+    """Same split as make_store(), host-resident (data/hoststore.py) — the
+    streaming path a bigger-than-HBM split takes; per-step device_put through
+    the dev tunnel pays ~40-200 ms RTT that colocated hosts don't."""
+    from audio_few_shot_learning_tpu.data.hoststore import HostStore
+
+    rng = np.random.default_rng(0)
+    n_classes, per_class = 35, 40
+    items = [
+        rng.standard_normal((N_MELS, N_FRAMES)).astype(np.float32)
+        for _ in range(n_classes * per_class)
+    ]
+    labels = list(np.repeat(np.arange(n_classes), per_class))
+    return HostStore.pack(items, labels, n_classes=n_classes)
+
+
 def make_wav_store():
     from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
 
@@ -375,6 +391,12 @@ def main():
         key = f"E{e}" + (f"_accum{mb}" if mb else "")
         train_eps[key] = bench_train(tr, repeats=2)
 
+    host_store = make_host_store()
+    host_eps = {
+        f"E{e}": bench_train(make_trainer(e, store=host_store), repeats=2)
+        for e in (1, 8)
+    }
+
     eval_eps = bench_eval(t1, spec_store, n_tasks=512)
     ms_store = make_store(multiseg=True)
     multiseg_eps = bench_eval(t1, ms_store, n_tasks=256, multisegment=True)
@@ -405,6 +427,7 @@ def main():
                 "eval_eps": round(eval_eps, 2),
                 "eval_multiseg_eps": round(multiseg_eps, 2),
                 "wav_train_eps": round(wav_eps, 2),
+                "host_store_train_eps": {k: round(v, 2) for k, v in host_eps.items()},
                 "roofline": roofline,
             }
         )
