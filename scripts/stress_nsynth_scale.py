@@ -186,6 +186,29 @@ def main():
     print("timing episode sampling ...", flush=True)
     big_ms = time_sampling(store, "306k")
 
+    # Host-resident arm (data/hoststore.py): at this scale the split lives in
+    # host RAM and the numpy sampler must assemble episode batches faster
+    # than the device consumes them (flagship E=8 step ~120 ms on a v5e).
+    print("timing host-store episode assembly ...", flush=True)
+    from audio_few_shot_learning_tpu.data.hoststore import HostStore
+
+    hs = HostStore.from_flat_arrays(
+        np.asarray(store.segments), np.asarray(store.seg_counts),
+        np.asarray(store.labels), store.n_classes)
+    hrng = np.random.default_rng(0)
+    for _ in range(5):
+        hep = hs.sample_episode_batch(hrng, 5, 5, 5, batch=8)
+    host_best = float("inf")
+    for _ in range(12):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            hep = hs.sample_episode_batch(hrng, 5, 5, 5, batch=8)
+        host_best = min(host_best, (time.perf_counter() - t0) / 10 * 1e3)
+    out["host_sample_ms_per_8ep_306k"] = round(host_best, 2)
+    batch_bytes = hep.support.nbytes + hep.query.nbytes
+    out["host_assemble_gbps"] = round(batch_bytes / (host_best / 1e3) / 1e9, 2)
+    out["host_batch_mb"] = round(batch_bytes / 1e6, 2)
+
     from audio_few_shot_learning_tpu.data.datasets import make_synthetic_dataset
     small_root = Path("/tmp/nsynth_scale_small")
     if small_root.exists():
