@@ -78,6 +78,14 @@ def _template(exp_cfg, mdl_cfg, feat_shape):
 
 def main(argv=None):
     args = parse_args(argv)
+    # conversion is a host-side tool (template init + leaf remapping) — keep it
+    # off the accelerator so it runs instantly and without a TPU attached
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized (e.g. called in-process after use)
     with open(args.experiment_config) as f:
         exp_cfg = json.load(f)
     with open(args.model_config) as f:

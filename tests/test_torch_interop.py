@@ -104,6 +104,34 @@ def test_export_import_round_trip():
         )
 
 
+@pytest.mark.parametrize("cell,bidi,layers", [("GRU", True, 2), ("LSTM", False, 1)])
+def test_round_trip_recurrent_variants(cell, bidi, layers):
+    """Gate-stacked GRU/LSTM matrices and the _reverse/l{k} multi-layer keys
+    survive the mapping (bit-exact)."""
+    exp = ExperimentConfig.from_dict(
+        {"encoder_name": "Hybrid", "use_attention": True, "use_contrastive": True}
+    )
+    exp = dataclasses.replace(exp, tpu=TPUConfig(compute_dtype="float32"))
+    mdl = ModelConfig.from_dict(
+        {"Hybrid": {"seq_type": cell, "bidirectional": bidi, "seq_layers": layers}}
+    )
+    model = FewShotEpisodeModel(exp=exp, mdl=mdl)
+    sup, qry, sup_lab = _episode()
+    variables = _scramble(_variables(model, sup, qry, sup_lab))
+    sd = export_reference_state_dict(variables)
+
+    expect = {f"backbone.encoder.seq_layers.weight_ih_l{k}" for k in range(layers)}
+    if bidi:
+        expect |= {f"backbone.encoder.seq_layers.weight_hh_l{k}_reverse" for k in range(layers)}
+    assert expect <= set(sd)
+
+    restored = import_reference_state_dict(sd, jax.tree.map(jnp.zeros_like, variables))
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(variables), jax.tree.leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
 def test_import_rejects_mismatched_architecture():
     sup, qry, sup_lab = _episode()
     variables = _variables(_flax_model(use_attention=True), sup, qry, sup_lab)
