@@ -107,10 +107,23 @@ def main(argv=None):
             import torch
         except ImportError:
             sys.exit("convert_checkpoint: reading .pt files requires torch")
+        import pickle
+
         try:
             sd = torch.load(args.input, map_location="cpu", weights_only=True)
         except TypeError:  # older torch without weights_only
             sd = torch.load(args.input, map_location="cpu")
+        except pickle.UnpicklingError:
+            # a whole nn.Module was pickled (not a state_dict): weights_only
+            # refuses it — retry with full unpickling, which runs arbitrary
+            # pickle code, so warn loudly
+            print(
+                "convert_checkpoint: input is not a plain state_dict; "
+                "retrying with weights_only=False (executes pickle code — "
+                "only do this for checkpoints you trust)",
+                file=sys.stderr,
+            )
+            sd = torch.load(args.input, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):  # a whole module was pickled, not a state_dict
             sd = sd.state_dict()
         import jax

@@ -31,6 +31,16 @@ Layout transforms (torch -> flax): Conv2d kernels ``[O, I, kh, kw]`` ->
 ``[out, in]``, flax ``[in, out]``; RNN/GRU/LSTM gate order already matches
 torch in ops/rnn.py); BatchNorm/LayerNorm vectors map 1:1
 (weight->scale, bias->bias, running_mean/var->batch_stats mean/var).
+
+CNN logits head: torch flattens the conv output NCHW -> (C, F', T')
+(main_modules.py:113 ``x.view(x.size(0), -1)``) while this framework
+flattens NHWC -> (F', T', C) (encoders.py StandardCNN). F' and T' keep
+their relative order in both, so the flattened axis maps through a single
+2-D transpose with ``m = F'*T'``: flax position ``(j, c)`` of an ``(m, C)``
+view == torch position ``(c, j)`` of a ``(C, m)`` view. The head BN vectors
+and the Linear input axis are permuted accordingly whenever ``m > 1``
+(``m`` and ``C`` are both derived from the variables tree). The Hybrid
+head's input is the RNN output — a plain feature vector — so it maps 1:1.
 """
 
 from __future__ import annotations
@@ -40,7 +50,9 @@ from typing import Any, Dict, List, Tuple
 import jax
 import numpy as np
 
-Entry = Tuple[str, Tuple[str, ...], str, str]  # (collection, flax path, ref key, kind)
+# (collection, flax path, ref key, kind); kind is a str tag or a
+# ("head_vector"|"head_matrix", m, C) tuple for the CNN flattened-head permutation
+Entry = Tuple[str, Tuple[str, ...], str, Any]
 
 _IGNORED_IMPORT_SUFFIXES = ("num_batches_tracked",)
 _IGNORED_IMPORT_PREFIXES = ("projection_head.ln1.", "projection_head.ln2.")
@@ -52,19 +64,39 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def _to_flax(a: np.ndarray, kind: str) -> np.ndarray:
+def _to_flax(a: np.ndarray, kind) -> np.ndarray:
     if kind == "conv_kernel":
         return np.transpose(a, (2, 3, 1, 0))
     if kind == "matrix":
         return np.transpose(a)
+    if isinstance(kind, tuple):  # CNN flattened-head permutation (see module doc)
+        tag, m, c = kind
+        if tag == "head_vector":  # torch (C, m) order -> flax (m, C) order
+            return np.ascontiguousarray(a.reshape(c, m).T).reshape(-1)
+        if tag == "head_matrix":  # torch Linear [out, (C,m)] -> flax [(m,C), out]
+            out = a.shape[0]
+            return np.ascontiguousarray(
+                a.reshape(out, c, m).transpose(2, 1, 0)
+            ).reshape(m * c, out)
+        raise ValueError(f"unknown kind {kind!r}")
     return a
 
 
-def _to_torch(a: np.ndarray, kind: str) -> np.ndarray:
+def _to_torch(a: np.ndarray, kind) -> np.ndarray:
     if kind == "conv_kernel":
         return np.ascontiguousarray(np.transpose(a, (3, 2, 0, 1)))
     if kind == "matrix":
         return np.ascontiguousarray(np.transpose(a))
+    if isinstance(kind, tuple):
+        tag, m, c = kind
+        if tag == "head_vector":  # flax (m, C) order -> torch (C, m) order
+            return np.ascontiguousarray(a.reshape(m, c).T).reshape(-1)
+        if tag == "head_matrix":  # flax [(m,C), out] -> torch [out, (C,m)]
+            out = a.shape[1]
+            return np.ascontiguousarray(
+                a.reshape(m, c, out).transpose(2, 1, 0)
+            ).reshape(out, m * c)
+        raise ValueError(f"unknown kind {kind!r}")
     return a
 
 
@@ -131,12 +163,28 @@ def build_mapping(variables: Dict[str, Any]) -> List[Entry]:
     head = bk["_LogitsHead_0"]
     bn = "bn_grouped" if "bn_grouped" in head else "BatchNorm_0"
     hp = ("backbone", "_LogitsHead_0")
+    # CNN encoder: the head input is the FLATTENED conv map, whose element
+    # order differs between torch (C, F', T') and flax (F', T', C) — permute
+    # through an (m, C) transpose, m = F'*T' (module doc). m and C come off
+    # the tree: C = last conv block's output channels, width = head BN size.
+    vec_kind, mat_kind = "vector", "matrix"
+    if "seq_layers" not in bk:
+        c = int(np.shape(_get(bk, ("ConvEncoder_0", "block3", "kernel")))[-1])
+        width = int(np.shape(_get(head, (bn, "scale")))[0])
+        if width % c != 0:
+            raise ValueError(
+                f"CNN head width {width} is not a multiple of the conv "
+                f"channel count {c} — corrupt variables tree?"
+            )
+        m = width // c
+        if m > 1:
+            vec_kind, mat_kind = ("head_vector", m, c), ("head_matrix", m, c)
     entries += [
-        ("params", hp + (bn, "scale"), "backbone.encoder.logits.1.weight", "vector"),
-        ("params", hp + (bn, "bias"), "backbone.encoder.logits.1.bias", "vector"),
-        ("batch_stats", hp + (bn, "mean"), "backbone.encoder.logits.1.running_mean", "vector"),
-        ("batch_stats", hp + (bn, "var"), "backbone.encoder.logits.1.running_var", "vector"),
-        ("params", hp + ("Dense_0", "kernel"), "backbone.encoder.logits.2.weight", "matrix"),
+        ("params", hp + (bn, "scale"), "backbone.encoder.logits.1.weight", vec_kind),
+        ("params", hp + (bn, "bias"), "backbone.encoder.logits.1.bias", vec_kind),
+        ("batch_stats", hp + (bn, "mean"), "backbone.encoder.logits.1.running_mean", vec_kind),
+        ("batch_stats", hp + (bn, "var"), "backbone.encoder.logits.1.running_var", vec_kind),
+        ("params", hp + ("Dense_0", "kernel"), "backbone.encoder.logits.2.weight", mat_kind),
         ("params", hp + ("Dense_0", "bias"), "backbone.encoder.logits.2.bias", "vector"),
     ]
 

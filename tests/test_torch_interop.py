@@ -285,20 +285,156 @@ def test_convert_checkpoint_cli_round_trip(reference_net, tmp_path):
 
 def test_export_loads_into_reference_strict(reference_net):
     """our variables -> reference load_state_dict(strict=True): scores match."""
+    import copy
+
     import torch
 
+    # load into a deepcopy — mutating the module-scoped fixture would feed a
+    # scrambled oracle to any test that happens to run after this one
+    net = copy.deepcopy(reference_net)
     sup, qry, sup_lab = _episode(2)
     model = _flax_model()
     variables = _scramble(_variables(model, sup, qry, sup_lab), seed=5)
     sd = export_reference_state_dict(variables)
-    reference_net.load_state_dict(
+    net.load_state_dict(
         {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, strict=True
     )
-    reference_net.eval()
+    net.eval()
 
     out = model.apply(
         variables, jnp.asarray(sup), jnp.asarray(qry), jnp.asarray(sup_lab),
         N_WAY, train=False,
     )
-    ref_scores = _torch_scores(reference_net, sup, qry, sup_lab)
+    ref_scores = _torch_scores(net, sup, qry, sup_lab)
     np.testing.assert_allclose(np.asarray(out.scores), ref_scores, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CNN-encoder family: flattened-head geometry with F'*T' > 1
+# ---------------------------------------------------------------------------
+
+# 36x40 features with pool (2,2): four floor-div-2 stages give F'=2, T'=2,
+# so the flattened head input is (F',T',C)-ordered here but (C,F',T')-ordered
+# in torch — the permutation case the Hybrid tests never reach (F'==1 and the
+# head input is the RNN output). ADVICE r04: this geometry silently produced
+# wrong conversions before the (m, C) transpose landed.
+CNN_F, CNN_T, CNN_POOL = 36, 40, (2, 2)
+
+
+def _flax_cnn_model():
+    exp = ExperimentConfig.from_dict(
+        {"encoder_name": "CNN", "use_attention": True, "use_contrastive": True}
+    )
+    exp = dataclasses.replace(exp, tpu=TPUConfig(compute_dtype="float32"))
+    mdl = ModelConfig.from_dict({"CNN": {"pool_dim": list(CNN_POOL)}})
+    return FewShotEpisodeModel(exp=exp, mdl=mdl)
+
+
+def _cnn_episode(seed=0):
+    rng = np.random.default_rng(seed)
+    sup = rng.standard_normal((N_WAY * K_SHOT, V, CNN_F, CNN_T)).astype(np.float32)
+    qry = rng.standard_normal((N_WAY * K_QUERY, V, CNN_F, CNN_T)).astype(np.float32)
+    return sup, qry, np.repeat(np.arange(N_WAY), K_SHOT)
+
+
+@pytest.fixture(scope="module")
+def reference_cnn_net():
+    """The real reference StandardCNN (constructed directly — the reference's
+    'CNN' factory path is broken, main_modules.py:265-268 omits trial_shape)
+    inside ContrastivePrototypicalNetworks, at the F'=T'=2 geometry."""
+    torch = pytest.importorskip("torch")
+    if not REFERENCE.exists():
+        pytest.skip("reference repo not mounted")
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    mm = importlib.import_module("models.main_modules")
+    pr = importlib.import_module("models.prototypical")
+
+    class _Backbone(torch.nn.Module):
+        """EncoderModule stand-in (its __init__ routes through the broken
+        factory for 'CNN'); same ``backbone.encoder.*`` state_dict keys and
+        the same list-of-views forward (main_modules.py:18-23)."""
+
+        def __init__(self, encoder):
+            super().__init__()
+            self.encoder = encoder
+
+        def forward(self, spec_list):
+            return [self.encoder(x) for x in spec_list]
+
+    mdl_cfg = {
+        "Attention": {"embed_dim": 64, "num_heads": 1, "ffn_dim": 256, "dropout": 0.1},
+        "Projection": {"input_dim": 256, "hidden_dim": 128, "output_dim": 256},
+    }
+    torch.manual_seed(13)
+    cnn = mm.StandardCNN(
+        in_channels=1,
+        trial_shape=(1, 1, CNN_F, CNN_T),
+        hidden_channels=64,
+        pool_dim=CNN_POOL,
+        out_dim=64,
+    )
+    net = pr.ContrastivePrototypicalNetworks(
+        backbone=_Backbone(cnn),
+        attention_model=mm.SelfAttention(mdl_cfg),
+        projection_head=mm.ProjectionHead(mdl_cfg),
+    )
+    gen = np.random.default_rng(17)
+    with torch.no_grad():
+        for name, buf in net.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.tensor(gen.normal(0.0, 0.05, buf.shape).astype(np.float32)))
+            elif name.endswith("running_var"):
+                buf.copy_(torch.tensor(gen.uniform(0.8, 1.2, buf.shape).astype(np.float32)))
+    net.eval()
+    return net
+
+
+def test_cnn_import_from_actual_reference(reference_cnn_net):
+    """reference CNN state_dict -> our variables at F'*T'=4: composed eval
+    scores match the torch model (pins the flattened-head permutation)."""
+    sup, qry, sup_lab = _cnn_episode(1)
+    model = _flax_cnn_model()
+    template = _variables(model, sup, qry, sup_lab)
+    # the head width must actually exercise the permuted case
+    assert np.shape(
+        template["params"]["backbone"]["_LogitsHead_0"]["Dense_0"]["kernel"]
+    )[0] == 4 * 64
+    variables = import_reference_state_dict(reference_cnn_net.state_dict(), template)
+    out = model.apply(
+        variables, jnp.asarray(sup), jnp.asarray(qry), jnp.asarray(sup_lab),
+        N_WAY, train=False,
+    )
+    ref_scores = _torch_scores(reference_cnn_net, sup, qry, sup_lab)
+    np.testing.assert_allclose(np.asarray(out.scores), ref_scores, rtol=1e-4, atol=1e-4)
+
+
+def test_cnn_export_loads_into_reference_strict(reference_cnn_net):
+    """our CNN variables -> reference load_state_dict(strict=True): scores
+    match; also pins the pure round-trip at the permuted geometry."""
+    import copy
+
+    import torch
+
+    net = copy.deepcopy(reference_cnn_net)
+    sup, qry, sup_lab = _cnn_episode(2)
+    model = _flax_cnn_model()
+    variables = _scramble(_variables(model, sup, qry, sup_lab), seed=9)
+    sd = export_reference_state_dict(variables)
+    net.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, strict=True
+    )
+    net.eval()
+
+    out = model.apply(
+        variables, jnp.asarray(sup), jnp.asarray(qry), jnp.asarray(sup_lab),
+        N_WAY, train=False,
+    )
+    ref_scores = _torch_scores(net, sup, qry, sup_lab)
+    np.testing.assert_allclose(np.asarray(out.scores), ref_scores, rtol=1e-4, atol=1e-4)
+
+    restored = import_reference_state_dict(sd, jax.tree.map(jnp.zeros_like, variables))
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(variables), jax.tree.leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
