@@ -25,6 +25,7 @@ from audio_few_shot_learning_tpu.data.datasets import (  # noqa: F401
 )
 from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore  # noqa: F401
 from audio_few_shot_learning_tpu.data.hoststore import HostStore  # noqa: F401
+from audio_few_shot_learning_tpu.data.wavhoststore import WavHostStore  # noqa: F401
 
 
 def pack_dataset(dataset: Sequence, mean: float = 0.0, std: float = 1.0, device=None):

@@ -120,13 +120,30 @@ class MetaAudioDataset:
             flat[0], flat[1], self.labels, len(self.class_names), device=device
         )
 
+    def _segment_seconds(self) -> int:
+        # NSynth's 4 s notes vs the 5 s window everywhere else
+        # (reference src/train_test.py NSynth special-case)
+        return 4 if "nsynth" in self.experiment_config.dataset_name.lower() else 5
+
     def to_host_store(self, dtype=np.float32, use_native: bool = True):
-        """Pack the split into host RAM (data/hoststore.py) — for splits that
-        do not fit HBM beside the training program; episodes stream per step."""
+        """Pack the split into host RAM (data/hoststore.py for spec,
+        data/wavhoststore.py for wav) — for splits that do not fit HBM
+        beside the training program; episodes stream per step."""
         from audio_few_shot_learning_tpu.data.hoststore import HostStore
 
-        if self.input_type != "spec":
-            raise NotImplementedError("host-resident store: spec input only")
+        if self.input_type == "wav":
+            from audio_few_shot_learning_tpu.data.wavhoststore import WavHostStore
+
+            return WavHostStore.pack_from_files(
+                self.filepaths,
+                self.labels,
+                n_classes=len(self.class_names),
+                mean=self.mean,
+                std=self.std,
+                multi_segm=self.multi_segm,
+                segment_seconds=self._segment_seconds(),
+                dtype=dtype,  # 'bfloat16' maps to float16 (wavhoststore doc)
+            )
         dtype = resolve_store_dtype(dtype)
         if use_native:
             flat = self._pack_flat_native(dtype)
@@ -164,7 +181,6 @@ class MetaAudioDataset:
         if self.input_type == "wav":
             from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
 
-            seg_s = 4 if "nsynth" in self.experiment_config.dataset_name.lower() else 5
             return PackedWavStore.pack(
                 items,
                 self.labels,
@@ -172,7 +188,7 @@ class MetaAudioDataset:
                 mean=self.mean,
                 std=self.std,
                 multi_segm=self.multi_segm,
-                segment_seconds=seg_s,
+                segment_seconds=self._segment_seconds(),
                 device=device,
             )
         return PackedStore.pack(
@@ -210,21 +226,26 @@ def _device_hbm_bytes(device=None) -> Optional[int]:
 def load_packed_split(
     exp: ExperimentConfig, root: Union[str, Path], split: str, dtype=None, device=None
 ):
-    """Load one split as a device-resident PackedStore/PackedWavStore or — for
-    spec splits that would not fit HBM beside the training program — a
-    host-resident HostStore (data/hoststore.py) streaming episodes per step.
-    ``exp.tpu.host_store`` forces either way; None = size-based auto."""
+    """Load one split as a device-resident PackedStore/PackedWavStore or —
+    for splits that would not fit HBM beside the training program — a
+    host-resident HostStore/WavHostStore streaming episodes per step.
+    ``exp.tpu.host_store`` forces either way; None = size-based auto.
+
+    Both wav layouts are ragged (no [I, L_max] padding), so the on-disk
+    payload size IS the packed size; the estimate is exact for wav and
+    exact-to-dtype for spec."""
     if dtype is None:
         dtype = exp.tpu.store_dtype  # 'float32' | 'bfloat16' (TPUConfig)
     ds = MetaAudioDataset(exp, root, split)
     force = exp.tpu.host_store
     if force is True:
-        return ds.to_host_store(dtype=dtype)  # raises for wav input
-    if force is None and ds.input_type == "spec":
+        return ds.to_host_store(dtype=dtype)
+    if force is None:
+        est_dtype = np.float32 if ds.input_type == "wav" else dtype
         limit = _device_hbm_bytes(device)
         if (
             limit is not None
-            and ds.estimated_packed_bytes(dtype) > HOST_STORE_HBM_FRACTION * limit
+            and ds.estimated_packed_bytes(est_dtype) > HOST_STORE_HBM_FRACTION * limit
         ):
             return ds.to_host_store(dtype=dtype)
     return ds.to_packed_store(dtype=dtype, device=device)

@@ -41,6 +41,8 @@ class HostStore:
     (segments [G,F,T], per-item offsets/counts, class table), numpy-backed,
     with a host episode sampler instead of the jittable one."""
 
+    is_host_resident = True
+
     def __init__(
         self,
         segments: np.ndarray,

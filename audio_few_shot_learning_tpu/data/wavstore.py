@@ -3,12 +3,25 @@
 The reference's wav branch (datasets/batch_creation.py:74-106) loads raw
 waveforms per item, segments 5 s chunks in Python (``variable_wav_splits``),
 augments on GPU and extracts mel on device. Here waveforms are packed once
-into a padded [I, L_max] array; segment extraction is index arithmetic inside
-jit, including the reference's segmentation semantics:
+into a device-resident **ragged** layout; segment extraction is contiguous
+``dynamic_slice`` arithmetic inside jit, including the reference's
+segmentation semantics:
 
   * len < 5 s      -> 1 segment = tile(sample)[:5 s]
   * tail remainder -> segment = tile(whole sample)[:5 s]
     (batch_creation.py:201-208 repeats the WHOLE sample for the tail)
+
+Layout — flat/ragged, no padding waste (mirrors store.py's spec layout):
+  waveforms [total]  all samples of all items, concatenated
+  offsets   [I]      start sample of item i
+  lengths   [I]      true length of item i
+
+A padded ``[I, L_max]`` layout (rounds 1-4) multiplies the footprint by
+L_max/mean(L) — for long-tailed duration distributions like BirdClef
+(pruned to <=180 s, to_var_spec.py semantics) that is ~6x, putting the
+split at ~750 GB padded vs ~120 GB ragged. Splits whose RAGGED size still
+exceeds HBM stream from host RAM instead (data/wavhoststore.py), selected
+automatically by ``load_packed_split``.
 """
 
 from __future__ import annotations
@@ -23,15 +36,87 @@ from flax import struct
 from audio_few_shot_learning_tpu.config import SAMPLE_RATE, SEGMENT_SECONDS
 
 
+def pack_wav_ragged(
+    waveforms: Sequence[np.ndarray],
+    multi_segm: bool,
+    segment_seconds: int = SEGMENT_SECONDS,
+    sr: int = SAMPLE_RATE,
+):
+    """Host-side ragged pack shared by the device and host wav stores.
+
+    Returns ``(flat [total] f32, offsets [I] i64, lengths [I] i32,
+    tails [T, seg_len] f32, tail_index [I] i32, seg_counts [I] i32,
+    seg_len)`` with the reference's segmentation semantics baked into the
+    precomputed tail rows (see module doc).
+    """
+    lengths = np.asarray([w.shape[0] for w in waveforms], dtype=np.int64)
+    l_max = int(lengths.max()) if len(lengths) else segment_seconds * sr
+    # non-multi-segment wav datasets use the whole (fixed-length) waveform
+    # (batch_creation.py:83-84: reshape(1,-1), no segmentation)
+    seg_len = segment_seconds * sr if multi_segm else l_max
+
+    offsets = np.zeros(len(lengths), dtype=np.int64)
+    if len(lengths):
+        offsets[1:] = np.cumsum(lengths)[:-1]
+    # keep the flat array >= one segment so a seg_len dynamic_slice is
+    # always traceable (tiny all-short splits)
+    flat = np.zeros(max(int(lengths.sum()), seg_len), dtype=np.float32)
+    # Tail segments precomputed host-side: the reference's repeat/tail
+    # semantics (tile the WHOLE sample, batch_creation.py:201-208) only
+    # ever apply to an item's LAST segment, so one [seg_len] row per
+    # short item lets on-device extraction be a contiguous dynamic_slice
+    # + select instead of an 80k-element general gather (which runs
+    # ~100 ms/episode on TPU — the gather is the whole wav-path
+    # bottleneck). Items with len >= seg_len need no stored row: their
+    # tail is sample[:seg_len] == the item's flat prefix.
+    tail_rows = []
+    tail_index = np.zeros(len(lengths), dtype=np.int32)
+    for i, w in enumerate(waveforms):
+        w = np.asarray(w, dtype=np.float32)
+        flat[offsets[i] : offsets[i] + w.shape[0]] = w
+        if w.shape[0] == 0:
+            # degenerate empty item: its own silent row (defaulting to
+            # tail_index 0 would alias another short item's audio)
+            tail_index[i] = len(tail_rows)
+            tail_rows.append(np.zeros(seg_len, dtype=np.float32))
+        elif w.shape[0] < seg_len:
+            reps = -(-seg_len // w.shape[0])  # ceil
+            tail_index[i] = len(tail_rows)
+            tail_rows.append(np.tile(w, reps)[:seg_len])
+    tails = (
+        np.stack(tail_rows) if tail_rows else np.zeros((1, seg_len), dtype=np.float32)
+    )
+
+    if multi_segm:
+        # ceil(len/seg_len); short samples get exactly 1 (repeat-padded)
+        seg_counts = np.maximum(-(-lengths // seg_len), 1).astype(np.int32)
+    else:
+        seg_counts = np.ones(len(lengths), dtype=np.int32)
+    return flat, offsets, lengths.astype(np.int32), tails, tail_index, seg_counts, seg_len
+
+
+def build_class_table(labels_np: np.ndarray, n_classes: int):
+    """[C, M_max] item-index table + [C] counts (reference dataset order,
+    datasets/datasets.py:84-91)."""
+    counts = np.bincount(labels_np, minlength=n_classes).astype(np.int32)
+    m_max = int(counts.max()) if len(counts) else 1
+    table = np.zeros((n_classes, m_max), dtype=np.int32)
+    fill = np.zeros(n_classes, dtype=np.int32)
+    for idx, lab in enumerate(labels_np):
+        table[lab, fill[lab]] = idx
+        fill[lab] += 1
+    return table, counts
+
+
 @struct.dataclass
 class PackedWavStore:
-    waveforms: jnp.ndarray  # [I, L_max] zero-padded
+    waveforms: jnp.ndarray  # [total] flat ragged samples
+    offsets: jnp.ndarray  # [I] int32 start sample of item i
     # Tail rows tile(sample)[:seg_len], stored ONLY for items shorter than
     # seg_len — for any item with len >= seg_len the reference's tail
     # semantics reduce to sample[:seg_len] (batch_creation.py:201-208 repeats
     # the WHOLE sample, so one repetition already covers seg_len), which is
-    # exactly waveforms[i, :seg_len]. Storing all I rows doubled device
-    # memory for all-full-length stores.
+    # exactly the item's flat prefix.
     tails: jnp.ndarray  # [T, seg_len], T = #short items (>=1 placeholder row)
     tail_index: jnp.ndarray  # [I] int32 row in ``tails`` (0 when unused)
     lengths: jnp.ndarray  # [I] int32 true lengths
@@ -48,11 +133,14 @@ class PackedWavStore:
 
     @property
     def num_items(self) -> int:
-        return self.waveforms.shape[0]
+        return self.offsets.shape[0]
 
     @property
     def feat_shape(self):
         return (self.seg_len,)
+
+    def nbytes(self) -> int:
+        return int(self.waveforms.size) * 4 + int(self.tails.size) * 4
 
     @staticmethod
     def pack(
@@ -70,59 +158,24 @@ class PackedWavStore:
         if n_classes is None:
             n_classes = int(labels_np.max()) + 1 if len(labels_np) else 0
 
-        lengths = np.asarray([w.shape[0] for w in waveforms], dtype=np.int32)
-        l_max = int(lengths.max()) if len(lengths) else segment_seconds * sr
-        # non-multi-segment wav datasets use the whole (fixed-length) waveform
-        # (batch_creation.py:83-84: reshape(1,-1), no segmentation)
-        seg_len = segment_seconds * sr if multi_segm else l_max
-        l_max = max(l_max, seg_len)  # dynamic_slice of seg_len must fit a row
-        packed = np.zeros((len(waveforms), l_max), dtype=np.float32)
-        # Tail segments precomputed host-side: the reference's repeat/tail
-        # semantics (tile the WHOLE sample, batch_creation.py:201-208) only
-        # ever apply to an item's LAST segment, so one [seg_len] row per
-        # short item lets on-device extraction be a contiguous dynamic_slice
-        # + select instead of an 80k-element general gather (which runs
-        # ~100 ms/episode on TPU — the gather is the whole wav-path
-        # bottleneck). Items with len >= seg_len need no stored row: their
-        # tail is sample[:seg_len] == the packed row prefix.
-        tail_rows = []
-        tail_index = np.zeros(len(waveforms), dtype=np.int32)
-        for i, w in enumerate(waveforms):
-            w = np.asarray(w, dtype=np.float32)
-            packed[i, : w.shape[0]] = w
-            if w.shape[0] == 0:
-                # degenerate empty item: its own silent row (defaulting to
-                # tail_index 0 would alias another short item's audio)
-                tail_index[i] = len(tail_rows)
-                tail_rows.append(np.zeros(seg_len, dtype=np.float32))
-            elif w.shape[0] < seg_len:
-                reps = -(-seg_len // w.shape[0])  # ceil
-                tail_index[i] = len(tail_rows)
-                tail_rows.append(np.tile(w, reps)[:seg_len])
-        tails = (
-            np.stack(tail_rows)
-            if tail_rows
-            else np.zeros((1, seg_len), dtype=np.float32)
+        flat, offsets, lengths, tails, tail_index, seg_counts, seg_len = (
+            pack_wav_ragged(waveforms, multi_segm, segment_seconds, sr)
         )
-
-        if multi_segm:
-            # ceil(len/seg_len); short samples get exactly 1 (repeat-padded)
-            seg_counts = np.maximum(-(-lengths // seg_len), 1).astype(np.int32)
-        else:
-            seg_counts = np.ones_like(lengths)
+        if flat.shape[0] >= np.iinfo(np.int32).max - seg_len:
+            # int32 offsets address <2^31 samples (~8.6 GB f32) — anything
+            # bigger cannot be device-resident anyway; the auto-selection in
+            # load_packed_split routes such splits to WavHostStore (int64).
+            raise ValueError(
+                f"split has {flat.shape[0]} samples (> int32 addressing); "
+                "use the host-resident WavHostStore for splits this large"
+            )
         s_max = int(seg_counts.max()) if len(lengths) else 1
-
-        counts = np.bincount(labels_np, minlength=n_classes).astype(np.int32)
-        m_max = int(counts.max()) if len(counts) else 1
-        table = np.zeros((n_classes, m_max), dtype=np.int32)
-        fill = np.zeros(n_classes, dtype=np.int32)
-        for idx, lab in enumerate(labels_np):
-            table[lab, fill[lab]] = idx
-            fill[lab] += 1
+        table, counts = build_class_table(labels_np, n_classes)
 
         put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
         return PackedWavStore(
-            waveforms=put(packed),
+            waveforms=put(flat),
+            offsets=put(offsets.astype(np.int32)),
             tails=put(tails),
             tail_index=put(tail_index),
             lengths=put(lengths),
@@ -142,18 +195,25 @@ class PackedWavStore:
         """Segment ``seg`` of item ``item`` -> [seg_len] with the reference's
         repeat/tail semantics (jit-friendly, TPU-fast: contiguous slices only).
 
-        Full segments are a ``dynamic_slice`` of the packed row. The tail
-        case tiles the WHOLE sample (batch_creation.py:201-208): for items
-        with len >= seg_len that is just the row prefix sample[:seg_len];
-        only short items need their precomputed ``tails`` row.
+        Full segments are a ``dynamic_slice`` of the flat array at
+        ``offsets[item] + seg*seg_len`` — in-bounds within the item by the
+        ``full`` predicate, so it never reads a neighbour. The tail case
+        tiles the WHOLE sample (batch_creation.py:201-208): for items with
+        len >= seg_len that is just the item's flat prefix; only short items
+        need their precomputed ``tails`` row. Out-of-range reads in the
+        unselected branches are clamped and discarded by the selects.
         """
         length = self.lengths[item]
         start = seg * self.seg_len
+        off = self.offsets[item]
         full = (length - start) >= self.seg_len
-        row = jax.lax.dynamic_index_in_dim(self.waveforms, item, keepdims=False)
-        start_c = jnp.clip(start, 0, self.waveforms.shape[1] - self.seg_len)
-        sliced = jax.lax.dynamic_slice(row, (start_c,), (self.seg_len,))
-        prefix = jax.lax.dynamic_slice(row, (jnp.zeros_like(start_c),), (self.seg_len,))
+        limit = self.waveforms.shape[0] - self.seg_len
+        sliced = jax.lax.dynamic_slice(
+            self.waveforms, (jnp.clip(off + start, 0, limit),), (self.seg_len,)
+        )
+        prefix = jax.lax.dynamic_slice(
+            self.waveforms, (jnp.clip(off, 0, limit),), (self.seg_len,)
+        )
         short = jax.lax.dynamic_index_in_dim(
             self.tails, self.tail_index[item], keepdims=False
         )

@@ -89,15 +89,10 @@ class Trainer:
         self.train_store = train_store
         self.val_store = val_store
         self.test_store = test_store
-        # HostStore = split stays in host RAM, episodes stream per step
-        # (datasets bigger than HBM; see data/hoststore.py)
-        self.host_mode = isinstance(train_store, HostStore)
-        if self.host_mode and exp.input_type == "wav":
-            raise NotImplementedError(
-                "host-resident streaming is implemented for spec stores; wav "
-                "splits are far smaller than their spec counterparts and use "
-                "the device-resident PackedWavStore"
-            )
+        # host-resident store = split stays in host RAM, episodes stream per
+        # step (splits bigger than HBM; see data/hoststore.py for spec,
+        # data/wavhoststore.py for wav — BirdClef/VoxCeleb-scale raw audio)
+        self.host_mode = getattr(train_store, "is_host_resident", False)
         self.mesh = mesh if mesh is not None else make_mesh(exp.tpu.mesh_shape)
 
         # hot-path kernel selection: the tpu.use_pallas knob gates every
@@ -426,8 +421,12 @@ class Trainer:
         resumed runs replay the same episode stream."""
         exp = self.exp
         if self._host_step_fn is None:
+            # the store is a static closure: only the wav mel-norm scalars
+            # are read inside the trace (spec host batches are pre-normed)
+            hstore = self.train_store if self.is_wav else None
             self._host_step_fn = jax.jit(
-                lambda st, ep, k: self._apply_train_step(st, ep, k), donate_argnums=0
+                lambda st, ep, k: self._apply_train_step(st, ep, k, hstore),
+                donate_argnums=0,
             )
         rng = _np_rng_from_key(key)
         step_keys = jax.random.split(key, self.steps_per_epoch)
@@ -618,7 +617,7 @@ class Trainer:
             # (s_max=6 x batch 6 -> 73.7 eval eps/s vs 38.9).
             seg_budget = self._eval_segment_budget(store)
             batch = max(1, min(batch, seg_budget // max(store.s_max, 1)))
-        is_host = isinstance(store, HostStore)
+        is_host = getattr(store, "is_host_resident", False)
         cache_key = ("host" if is_host else "dev", store.s_max, store.feat_shape, n_way, k_shot, k_query, augment_query, multisegment, tie_strategy, batch)
         if cache_key not in self._eval_fns:
             if is_host:
@@ -630,6 +629,8 @@ class Trainer:
                         multisegment=multisegment,
                         tie_strategy=tie_strategy,
                         s_max=store.s_max,
+                        # static closure; only wav mel-norm scalars are read
+                        store=store if self.is_wav else None,
                     )
                 )
             else:

@@ -8,12 +8,15 @@ faithful in-process torch-CPU re-creation of the reference's per-episode loop
 (same model shapes, per-episode augmentation, one Adam step per episode; disk
 I/O removed, which flatters the baseline).
 
-Default mode measures the headline + one cheap eval and prints ONE JSON
-line in ~3-4 min. `--full` additionally measures train eps/s at E in
-{1,2,4,8}, multi-segment-eval throughput, the wav input path (on-device
-WaveAugment + mel), and a self-calibrated roofline (achieved FLOP/s vs what
-a scanned dense bf16 matmul chain sustains on this same device) — printing
-the headline line before the matrix so it survives any timeout.
+Default mode measures the headline + one cheap eval against the PINNED
+torch baseline (no live re-timing — see pinned_baseline) and prints ONE
+JSON line in ~3 min. `--full` additionally re-times the torch loop (6
+episodes) and measures train eps/s at E in {1,2,4,8}, multi-segment-eval
+throughput at s_max 6 and 36 (BirdClef's real geometry), the wav input path
+(on-device WaveAugment + mel; device store and host-streaming store), and a
+self-calibrated roofline (achieved FLOP/s vs what a scanned dense bf16
+matmul chain sustains on this same device) — printing the headline line
+before the matrix so it survives any timeout.
 """
 
 from __future__ import annotations
@@ -31,15 +34,16 @@ N_MELS, N_FRAMES = 128, 157
 N_WAY, K_SHOT, K_QUERY = 5, 5, 5
 
 
-def make_store(multiseg=False):
+def make_store(multiseg=False, s_max=6, n_classes=35, per_class=40):
     from audio_few_shot_learning_tpu.data.store import PackedStore
 
     rng = np.random.default_rng(0)
-    n_classes, per_class = 35, 40  # ESC-50 train split shape
+    # defaults: ESC-50 train split shape; multiseg s_max=6 is the compact
+    # variable-length case, s_max=36 is BirdClef's real geometry (180 s /
+    # 5 s windows, to_var_spec.py:79-146)
     if multiseg:
-        # BirdClef-like: 1..6 five-second segments per item
         items = [
-            rng.standard_normal((int(rng.integers(1, 7)), N_MELS, N_FRAMES)).astype(np.float32)
+            rng.standard_normal((int(rng.integers(1, s_max + 1)), N_MELS, N_FRAMES)).astype(np.float32)
             for _ in range(n_classes * per_class)
         ]
     else:
@@ -67,13 +71,19 @@ def make_host_store():
     return HostStore.pack(items, labels, n_classes=n_classes)
 
 
-def make_wav_store():
-    from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
-
+def make_wav_store(host=False):
     rng = np.random.default_rng(0)
     n_classes, per_class = 12, 20
     wavs = [rng.standard_normal(80000).astype(np.float32) for _ in range(n_classes * per_class)]
     labels = list(np.repeat(np.arange(n_classes), per_class))
+    if host:
+        # host-resident ragged store: the BirdClef/VoxCeleb-scale streaming
+        # path (data/wavhoststore.py); same split so rows are comparable
+        from audio_few_shot_learning_tpu.data.wavhoststore import WavHostStore
+
+        return WavHostStore.pack(wavs, labels, n_classes=n_classes)
+    from audio_few_shot_learning_tpu.data.wavstore import PackedWavStore
+
     return PackedWavStore.pack(wavs, labels, n_classes=n_classes)
 
 
@@ -315,14 +325,15 @@ def headline_json(train_e1, baseline_eps, backend, extra=None, baseline_n=None):
             "episodes_per_sec": round(ratio_base, 3),
             "pinned": bool(pin),
             "episodes_timed": pin["episodes_timed"] if pin else baseline_n,
-            "measured_this_run": {
-                "episodes_per_sec": round(baseline_eps, 3),
-                "episodes_timed": baseline_n,
-            },
         },
         "config": "Hybrid+SpecAugment(4v)+attention+CPL 5w5s5q",
         "backend": backend,
     }
+    if baseline_eps is not None:
+        out["baseline"]["measured_this_run"] = {
+            "episodes_per_sec": round(baseline_eps, 3),
+            "episodes_timed": baseline_n,
+        }
     if extra:
         out.update(extra)
     return json.dumps(out)
@@ -362,11 +373,15 @@ def main():
     jax.block_until_ready(jax.numpy.zeros(8) + 1)  # force real device init
     watchdog.cancel()
 
-    # Baseline episode count differs by mode for time budget (~8 s/episode on
-    # this 1-core box); the count is recorded in the JSON so numbers from the
-    # two modes are comparable on equal terms (advisor round-2 finding).
-    baseline_n = 2 if not full else 6
-    baseline_eps = bench_torch_reference(n_episodes=baseline_n)
+    # Default mode trusts the pinned 6-episode baseline and does NOT re-time
+    # the torch loop (a 2-episode live number on this contended 1-core box
+    # swung 2.4x across rounds and only invited cross-round confusion,
+    # VERDICT r04 weak #5). --full re-measures with 6 episodes; a missing
+    # pin (fresh checkout) also forces a 6-episode measurement.
+    baseline_n = 6 if (full or pinned_baseline() is None) else None
+    baseline_eps = (
+        bench_torch_reference(n_episodes=baseline_n) if baseline_n else None
+    )
 
     spec_store = make_store()
     train_eps = {}
@@ -400,7 +415,14 @@ def main():
     eval_eps = bench_eval(t1, spec_store, n_tasks=512)
     ms_store = make_store(multiseg=True)
     multiseg_eps = bench_eval(t1, ms_store, n_tasks=256, multisegment=True)
+    # BirdClef's REAL eval geometry (s_max=36; VERDICT r04 weak #2): the
+    # segment budget caps the program at ~1 episode x 36 segment-episodes
+    ms36_store = make_store(multiseg=True, s_max=36, n_classes=12, per_class=10)
+    multiseg36_eps = bench_eval(t1, ms36_store, n_tasks=32, multisegment=True, repeats=1)
     wav_eps = bench_train(make_trainer(1, wav=True), repeats=2)
+    # streaming wav: host-resident ragged store feeding raw [.., 80k] rows
+    # per step — the only viable path at BirdClef/VoxCeleb scale
+    wav_host_eps = bench_train(make_trainer(1, wav=True, store=make_wav_store(host=True)), repeats=2)
 
     flops_per_ep = epoch_flops(t1)
     try:
@@ -426,7 +448,9 @@ def main():
                 "train_eps": {k: round(v, 2) for k, v in train_eps.items()},
                 "eval_eps": round(eval_eps, 2),
                 "eval_multiseg_eps": round(multiseg_eps, 2),
+                "eval_multiseg_smax36_eps": round(multiseg36_eps, 2),
                 "wav_train_eps": round(wav_eps, 2),
+                "wav_host_store_train_eps": round(wav_host_eps, 2),
                 "host_store_train_eps": {k: round(v, 2) for k, v in host_eps.items()},
                 "roofline": roofline,
             }

@@ -56,7 +56,16 @@ RESULTS = REPO / "experiments" / "ab_vs_reference" / "results.jsonl"
 
 N_MELS, N_FRAMES = 128, 157  # reference SpecAugment hardcodes 128 mel bins
 DATASET_SEED = 77
-BAND_GAIN = 0.45  # mid-range accuracy; gain 4.0 saturates (ceiling hides deltas)
+# Dataset difficulty. 0.45 (rounds 3-4) landed both arms at 0.21-0.25 vs a
+# 0.20 chance floor — "within noise" there is weak evidence, since only
+# catastrophic divergence is detectable (VERDICT r04 weak #1). 4.0
+# saturates. The r05 protocol calibrates a gain (ours-arm sweep,
+# scripts/ab_calibrate.sh) that lands both arms ~0.5-0.7, where a
+# few-point delta is resolvable, and records band_gain per result row.
+DEFAULT_BAND_GAIN = 0.45
+BAND_GAIN = DEFAULT_BAND_GAIN  # set from --band-gain in main()
+MULTISEG = False  # set from --multiseg in main()
+TIE_STRATEGIES = ("", "min_label", "max_posterior")
 
 
 def experiment_dict(epochs: int, tasks: int, test_tasks: int,
@@ -92,8 +101,8 @@ def experiment_dict(epochs: int, tasks: int, test_tasks: int,
         "test_query_augmentations": cpl,
         "lr": 0.0007,
         "num_epochs": epochs,
-        "multi_segm": False,
-        "tie_strategy": "",
+        "multi_segm": MULTISEG,
+        "tie_strategy": "",  # per-strategy evals loop over TIE_STRATEGIES
         "relation_head": False,
         "n_training_tasks": tasks,
         "n_testing_tasks": test_tasks,
@@ -127,12 +136,19 @@ def model_dict() -> dict:
 def make_dataset() -> Path:
     from audio_few_shot_learning_tpu.data.datasets import make_synthetic_dataset
 
+    # legacy path name for the round-3/4 accumulated rows; gain/multiseg
+    # variants get their own directory so arms never mix datasets
+    root = "/tmp/ab_vs_ref"
+    if BAND_GAIN != DEFAULT_BAND_GAIN or MULTISEG:
+        root += f"_g{BAND_GAIN:g}" + ("_mseg" if MULTISEG else "")
     return make_synthetic_dataset(
-        "/tmp/ab_vs_ref",
+        root,
         n_classes=16,
         items_per_class=12,
         n_mels=N_MELS,
         n_frames=N_FRAMES,
+        multi_segm=MULTISEG,
+        max_segments=6,
         split_fractions=(6, 5, 5),
         seed=DATASET_SEED,
         band_gain=BAND_GAIN,
@@ -308,25 +324,53 @@ def run_reference_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks
         train_query_augmentations=cfg["train_query_augmentations"],
         validation_query_augmentations=cfg["validation_query_augmentations"],
     )
-    mean, std = ref_loops.evaluate_single_segment(
-        model=trained,
-        dataset=test_set,
-        num_val_tasks=test_tasks,
-        device="cpu",
-        n_classes=cfg["n_way_test"],
-        k_support=cfg["n_shot_test"],
-        k_query=cfg["n_query_test"],
-        feat_extractor=None,
-        eval_query_augmentation=cfg["test_query_augmentations"],
-    )
-    return {
+    row = {
         "arm": "reference_torch",
         "loss": loss,
         "seed": seed,
-        "test_acc": round(float(mean), 4),
-        "test_acc_task_std": round(float(std), 4),
-        "seconds": round(time.perf_counter() - t0, 1),
     }
+    if MULTISEG:
+        # the REAL reference multi-segment vote path (loops/loops.py:249-283
+        # evaluate_multisegment_loop + calculate_majority_vote_accuracy:169-247)
+        # under each tie strategy — the eval this framework's device vote +
+        # sampler bookkeeping must match (VERDICT r04 missing #2)
+        random.seed(seed + 10_000)  # eval episode stream, distinct from train
+        np.random.seed(seed + 10_000)
+        torch.manual_seed(seed + 10_000)
+        for tie in TIE_STRATEGIES:
+            msg = ref_loops.evaluate_multisegment_loop(
+                test_dataset=test_set,
+                n_classes=cfg["n_way_test"],
+                k_support=cfg["n_shot_test"],
+                k_query=cfg["n_query_test"],
+                num_test_tasks=test_tasks,
+                trained_model=trained,
+                device="cpu",
+                tie_strategy=tie,
+                feat_extractor=None,
+                eval_query_augmentation=cfg["test_query_augmentations"],
+            )
+            key = tie or "first"
+            row[f"test_acc_{key}"] = round(float(msg["mean_accuracy"]), 4)
+            row[f"test_acc_{key}_task_std"] = round(float(msg["accuracy_std"]), 4)
+        row["test_acc"] = row["test_acc_max_posterior"]
+        row["test_acc_task_std"] = row["test_acc_max_posterior_task_std"]
+    else:
+        mean, std = ref_loops.evaluate_single_segment(
+            model=trained,
+            dataset=test_set,
+            num_val_tasks=test_tasks,
+            device="cpu",
+            n_classes=cfg["n_way_test"],
+            k_support=cfg["n_shot_test"],
+            k_query=cfg["n_query_test"],
+            feat_extractor=None,
+            eval_query_augmentation=cfg["test_query_augmentations"],
+        )
+        row["test_acc"] = round(float(mean), 4)
+        row["test_acc_task_std"] = round(float(std), 4)
+    row["seconds"] = round(time.perf_counter() - t0, 1)
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -361,17 +405,33 @@ def run_ours_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int
         trainer, results_dir=f"/tmp/ab_vs_ref_work/ours_seed{seed}", run_idx=0,
         log_fn=lambda *a: None,
     )
-    test = trainer.test()
-    return {
+    row = {
         "arm": "ours_jax",
         "loss": loss,
         "seed": seed,
-        "test_acc": round(float(test["mean_accuracy"]), 4),
-        "test_acc_task_std": round(float(test["accuracy_std"]), 4),
         "best_val_acc": round(float(log["best_val_accuracy"]), 4),
         "backend": jax.default_backend(),
-        "seconds": round(time.perf_counter() - t0, 1),
     }
+    if MULTISEG:
+        for tie in TIE_STRATEGIES:
+            mean, std = trainer.evaluate(
+                trainer.test_store, n_tasks=test_tasks,
+                n_way=cfg["n_way_test"], k_shot=cfg["n_shot_test"],
+                k_query=cfg["n_query_test"],
+                augment_query=cfg["test_query_augmentations"],
+                multisegment=True, tie_strategy=tie,
+            )
+            key = tie or "first"
+            row[f"test_acc_{key}"] = round(float(mean), 4)
+            row[f"test_acc_{key}_task_std"] = round(float(std), 4)
+        row["test_acc"] = row["test_acc_max_posterior"]
+        row["test_acc_task_std"] = row["test_acc_max_posterior_task_std"]
+    else:
+        test = trainer.test()
+        row["test_acc"] = round(float(test["mean_accuracy"]), 4)
+        row["test_acc_task_std"] = round(float(test["accuracy_std"]), 4)
+    row["seconds"] = round(time.perf_counter() - t0, 1)
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -381,75 +441,109 @@ def run_ours_arm(root: Path, seed: int, epochs: int, tasks: int, test_tasks: int
 
 def append_result(row: dict, epochs: int, tasks: int, test_tasks: int):
     row = {**row, "epochs": epochs, "tasks": tasks, "test_tasks": test_tasks,
-           "band_gain": BAND_GAIN, "dataset_seed": DATASET_SEED}
+           "band_gain": BAND_GAIN, "multiseg": MULTISEG,
+           "dataset_seed": DATASET_SEED}
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
     with open(RESULTS, "a") as f:
         f.write(json.dumps(row) + "\n")
     print(json.dumps(row), flush=True)
 
 
-def report(out_path: str):
+FAMILY_DESC = {
+    "cpl": "flagship FSD2018-CPL config (Hybrid + SpecAugment 4v + "
+           "attention + CPL, 5w5s5q)",
+    "plain": "plain-ProtoNet family (Hybrid, no attention, no "
+             "contrastive term, no SpecAugment views; "
+             "configs/fsd2018_plain.json semantics, 5w5s5q)",
+}
+
+
+def _arm_table(lines, frows, acc_key="test_acc", label=""):
+    """One arms-comparison table + delta/MDE verdict for rows sharing a
+    (regime, family) cell. Returns the per-arm means for callers."""
     import numpy as np
 
+    std_key = acc_key + "_task_std"
+    arms = {}
+    for r in frows:
+        arms.setdefault(r["arm"], []).append(r)
+    lines += [
+        f"| arm{label} | seed accs (test) | mean ± std (seeds) | mean per-run task std |",
+        "|---|---|---|---|",
+    ]
+    stats = {}
+    for arm in sorted(arms):
+        rows_s = sorted(arms[arm], key=lambda r: r["seed"])
+        accs = [r[acc_key] for r in rows_s]
+        tstd = float(np.mean([r[std_key] for r in rows_s]))
+        stats[arm] = (float(np.mean(accs)), float(np.std(accs)), len(accs))
+        lines.append(
+            f"| {arm} | {', '.join(f'{a:.3f}' for a in accs)} | "
+            f"{stats[arm][0]:.3f} ± {stats[arm][1]:.3f} | {tstd:.3f} |"
+        )
+    lines.append("")
+    if len(stats) == 2:
+        (a0, (m0, s0, n0)), (a1, (m1, s1, n1)) = sorted(stats.items())
+        delta = abs(m0 - m1)
+        n_test = frows[0]["test_tasks"]
+        sem = float(np.mean([r[std_key] for r in frows])) / np.sqrt(n_test)
+        noise = max(s0, s1, 1e-9)
+        # minimum detectable effect at ~95%: 2x the SE of the arm-mean
+        # difference (seed-to-seed variation, both arms)
+        mde = 2.0 * float(np.sqrt(s0**2 / max(n0, 1) + s1**2 / max(n1, 1)))
+        verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
+        lines += [
+            f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}**; "
+            f"MDE(95%) ~{mde:.3f} accuracy points "
+            f"(single-run task-sampling SEM ~{sem:.3f}).",
+            "",
+        ]
+    return stats
+
+
+def report(out_path: str):
     rows = [json.loads(l) for l in open(RESULTS)] if RESULTS.exists() else []
     if not rows:
         print("no results accumulated yet", file=sys.stderr)
         return
-    FAMILY_DESC = {
-        "cpl": "flagship FSD2018-CPL config (Hybrid + SpecAugment 4v + "
-               "attention + CPL, 5w5s5q)",
-        "plain": "plain-ProtoNet family (Hybrid, no attention, no "
-                 "contrastive term, no SpecAugment views; "
-                 "configs/fsd2018_plain.json semantics, 5w5s5q)",
-    }
-    families = {}
+    # regime = (multiseg, band_gain): arms are only comparable within one
+    regimes = {}
     for r in rows:
-        families.setdefault(r.get("loss", "cpl"), []).append(r)
+        key = (bool(r.get("multiseg", False)), float(r.get("band_gain", DEFAULT_BAND_GAIN)))
+        regimes.setdefault(key, []).append(r)
     lines = [
         "### vs reference torch (synthetic): head-to-head training A/B",
         "",
-        "Both arms train on the same on-disk synthetic dataset "
-        f"(16 classes 6/5/5, 128x157, band_gain {BAND_GAIN}), "
-        f"{rows[0]['epochs']} epochs x {rows[0]['tasks']} tasks, "
-        f"{rows[0]['test_tasks']} test tasks. Reference arm runs the actual "
-        "/root/reference code (loops/loops.py:124 contrastive_training_loop) "
-        "on torch-CPU; see scripts/ab_vs_reference.py.",
+        "Both arms of every cell train on the same on-disk synthetic dataset "
+        "(16 classes 6/5/5, 128x157; difficulty set by band_gain). Reference "
+        "arm runs the actual /root/reference code "
+        "(loops/loops.py:124 contrastive_training_loop; multi-segment eval = "
+        "loops/loops.py:249-283) on torch-CPU; see scripts/ab_vs_reference.py.",
         "",
     ]
-    for fam in sorted(families):
-        frows = families[fam]
-        arms = {}
-        for r in frows:
-            arms.setdefault(r["arm"], []).append(r)
-        lines += [
-            f"#### loss family: {fam} — {FAMILY_DESC.get(fam, fam)}",
-            "",
-            "| arm | seed accs (test) | mean ± std (seeds) | mean per-run task std |",
-            "|---|---|---|---|",
-        ]
-        means = {}
-        for arm in sorted(arms):
-            accs = [r["test_acc"] for r in sorted(arms[arm], key=lambda r: r["seed"])]
-            tstd = float(np.mean([r["test_acc_task_std"] for r in arms[arm]]))
-            means[arm] = (float(np.mean(accs)), float(np.std(accs)))
-            lines.append(
-                f"| {arm} | {', '.join(f'{a:.3f}' for a in accs)} | "
-                f"{means[arm][0]:.3f} ± {means[arm][1]:.3f} | {tstd:.3f} |"
-            )
-        lines.append("")
-        if len(means) == 2:
-            (a0, m0), (a1, m1) = sorted(means.items())
-            delta = abs(m0[0] - m1[0])
-            # seed-noise yardstick + the task-sampling SEM of a single run
-            n_test = frows[0]["test_tasks"]
-            sem = float(np.mean([r["test_acc_task_std"] for r in frows])) / np.sqrt(n_test)
-            noise = max(m0[1], m1[1], 1e-9)
-            verdict = "WITHIN seed noise" if delta <= 2 * noise else "EXCEEDS 2x seed noise"
-            lines += [
-                f"Arm delta {delta:.3f} vs max seed std {noise:.3f} -> **{verdict}** "
-                f"(single-run task-sampling SEM ~{sem:.3f}).",
-                "",
-            ]
+    for (mseg, gain) in sorted(regimes):
+        rrows = regimes[(mseg, gain)]
+        families = {}
+        for r in rrows:
+            families.setdefault(r.get("loss", "cpl"), []).append(r)
+        regime_desc = (
+            f"band_gain {gain:g}, "
+            + ("multi-segment (1-6 segs/item, vote eval)" if mseg else "single-segment")
+            + f", {rrows[0]['epochs']} epochs x {rrows[0]['tasks']} tasks, "
+            f"{rrows[0]['test_tasks']} test tasks"
+        )
+        lines += [f"#### regime: {regime_desc}", ""]
+        for fam in sorted(families):
+            frows = families[fam]
+            lines += [f"**loss family: {fam}** — {FAMILY_DESC.get(fam, fam)}", ""]
+            if mseg:
+                for tie in TIE_STRATEGIES:
+                    key = tie or "first"
+                    if any(f"test_acc_{key}" in r for r in frows):
+                        lines += [f"tie strategy `{tie or '(first occurrence)'}`:", ""]
+                        _arm_table(lines, frows, acc_key=f"test_acc_{key}")
+            else:
+                _arm_table(lines, frows)
     text = "\n".join(lines)
     print(text)
     if out_path:
@@ -467,9 +561,18 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="ours arm on CPU backend")
     ap.add_argument("--loss", choices=["cpl", "plain"], default="cpl",
                     help="loss family for both arms (see experiment_dict)")
+    ap.add_argument("--band-gain", type=float, default=DEFAULT_BAND_GAIN,
+                    help="synthetic dataset difficulty (see DEFAULT_BAND_GAIN doc)")
+    ap.add_argument("--multiseg", action="store_true",
+                    help="multi-segment dataset + majority-vote eval under "
+                         "all three tie strategies (reference loops.py:249-283)")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--out", default="/tmp/ab_vs_reference_section.md")
     args = ap.parse_args()
+
+    global BAND_GAIN, MULTISEG
+    BAND_GAIN = args.band_gain
+    MULTISEG = args.multiseg
 
     if args.report:
         report(args.out)

