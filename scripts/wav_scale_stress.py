@@ -111,6 +111,10 @@ def main():
     ap.add_argument("--episode-batch", type=int, default=4)
     ap.add_argument("--eval-tasks", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="CPU backend (smoke)")
+    ap.add_argument("--pack-only", action="store_true",
+                    help="build + size the ragged store and a sample episode "
+                         "host-side, skip the on-device training/eval halves "
+                         "(the capacity proof without needing a TPU)")
     args = ap.parse_args()
 
     import jax
@@ -130,6 +134,26 @@ def main():
         "s_max": store.s_max,
         "pack_seconds": round(pack_s, 1),
     }
+
+    if args.pack_only:
+        # capacity proof without a device: the ragged store fits host RAM and
+        # per-step episode assembly (sampler + ragged slicing + tail rows) runs
+        # at streaming-compatible speed. Train/eval halves need the TPU.
+        rng = np.random.default_rng(1)
+        t0 = time.perf_counter()
+        n_asm = 6
+        for _ in range(n_asm):
+            eb = store.sample_episode_batch(
+                rng, n_way=5, k_support=5, k_query=5, batch=args.episode_batch
+            )
+        out["host_assembly_ms_per_step"] = round(
+            (time.perf_counter() - t0) / n_asm * 1e3, 1
+        )
+        out["episode_batch"] = args.episode_batch
+        out["support_shape"] = list(eb.support.shape)
+        out["query_shape"] = list(eb.query.shape)
+        print(json.dumps(out))
+        return
 
     exp = ExperimentConfig.from_dict(
         {
