@@ -312,6 +312,9 @@ def pinned_baseline():
         return None
 
 
+LINK_PROBE_S = None  # set by main(); tunnel-health context for the headline
+
+
 def headline_json(train_e1, baseline_eps, backend, extra=None, baseline_n=None):
     pin = pinned_baseline()
     ratio_base = pin["episodes_per_sec"] if pin else baseline_eps
@@ -329,6 +332,10 @@ def headline_json(train_e1, baseline_eps, backend, extra=None, baseline_n=None):
         "config": "Hybrid+SpecAugment(4v)+attention+CPL 5w5s5q",
         "backend": backend,
     }
+    if LINK_PROBE_S is not None:
+        out["link_probe_s"] = round(LINK_PROBE_S, 2)
+        if LINK_PROBE_S > 5.0:
+            out["link_degraded"] = True
     if baseline_eps is not None:
         out["baseline"]["measured_this_run"] = {
             "episodes_per_sec": round(baseline_eps, 3),
@@ -372,6 +379,24 @@ def main():
     backend = jax.default_backend()
     jax.block_until_ready(jax.numpy.zeros(8) + 1)  # force real device init
     watchdog.cancel()
+
+    # Link-health probe: one tiny matmul + forced readback. Normally ~0.1-0.3 s
+    # through the dev tunnel; during the 2026-08-21 outage it read 80-530 s.
+    # Recorded so a number taken through a degraded link is interpretable
+    # (BASELINE.md round 5 "TPU-tunnel outage") — the eps/s figures in that
+    # state measure the link, not the program.
+    import jax.numpy as jnp
+
+    global LINK_PROBE_S
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.ones((256, 256)) @ jnp.ones((256, 256))))
+    link_probe_s = LINK_PROBE_S = time.perf_counter() - t0
+    if link_probe_s > 5.0:
+        sys.stderr.write(
+            f"bench.py: WARNING link probe took {link_probe_s:.1f} s (healthy: "
+            "<1 s) — the tunnel is degraded; throughput below reflects the "
+            "link, not the program.\n"
+        )
 
     # Default mode trusts the pinned 6-episode baseline and does NOT re-time
     # the torch loop (a 2-episode live number on this contended 1-core box
